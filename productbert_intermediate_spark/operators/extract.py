@@ -1,0 +1,106 @@
+"""Extraction stage: pages (url, warc_ts, html, text, lang) → offers.
+
+Replaces the reference's corpus-preprocessing entry point
+(/root/reference/src/processing/preprocess/preprocess_corpus.py:14-48):
+where the reference reads a pre-extracted JSON corpus into pandas and
+row-applies the cleaners, this stage parses offer fields out of the page
+text with one Arrow-batched pandas UDF (vectorized .str.extract), then
+applies the byte-identical cleaners (functions/cleaning.py) per field.
+
+Scale notes (100TB design point):
+- one narrow projection of (url, warc_ts, text) — html is never read
+  (column pruning reaches the parquet scan);
+- lang filter is a pushed-down predicate;
+- the whole stage is map-only: zero shuffles;
+- latest-crawl-wins per url is an optional window dedup (the only shuffle,
+  keyed by url — skipped when the source guarantees unique urls).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.cleaning import clean_spec_series, clean_string_series
+
+_FIELDS = ("sku", "category", "title", "description", "brand", "price", "spec")
+
+_RAW_SCHEMA = StructType(
+    [StructField(f"raw_{f}", StringType()) for f in _FIELDS]
+)
+
+OFFER_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("url", StringType(), False),
+        StructField("category", StringType(), True),
+        StructField("title", StringType(), True),
+        StructField("description", StringType(), True),
+        StructField("brand", StringType(), True),
+        StructField("price", StringType(), True),
+        StructField("specTableContent", StringType(), True),
+    ]
+)
+
+
+@pandas_udf(_RAW_SCHEMA)
+def _parse_fields(text: pd.Series) -> pd.DataFrame:  # pragma: no cover - via Spark
+    out = {}
+    for f in _FIELDS:
+        # DOTALL: raw values legitimately contain newlines/tabs
+        out[f"raw_{f}"] = text.str.extract(
+            rf"<<{f}>>(.*?)<</{f}>>", expand=False, flags=16
+        )
+    return pd.DataFrame(out)
+
+
+@pandas_udf(StringType())
+def _clean_string_udf(s: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
+    return clean_string_series(s)
+
+
+@pandas_udf(StringType())
+def _clean_spec_udf(s: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
+    return clean_spec_series(s)
+
+
+def extract_offers(
+    pages: DataFrame,
+    lang: str = "en",
+    dedup_latest_crawl: bool = False,
+) -> DataFrame:
+    """pages → cleaned offers DataFrame (OFFER_SCHEMA).
+
+    The cleaned field values are byte-identical to the reference cleaners
+    (utils.py:17-33) applied to the same raw field strings — the pipeline's
+    per-url invariant.
+    """
+    df = pages.select("url", "warc_ts", "text", "lang").where(F.col("lang") == lang)
+
+    if dedup_latest_crawl:
+        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+        df = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    parsed = df.withColumn("_p", _parse_fields(F.col("text")))
+    return parsed.select(
+        F.col("_p.raw_sku").cast("long").alias("id"),
+        F.col("url"),
+        F.col("_p.raw_category").alias("category"),
+        _clean_string_udf(F.col("_p.raw_title")).alias("title"),
+        _clean_string_udf(F.col("_p.raw_description")).alias("description"),
+        _clean_string_udf(F.col("_p.raw_brand")).alias("brand"),
+        _clean_string_udf(F.col("_p.raw_price")).alias("price"),
+        _clean_spec_udf(F.col("_p.raw_spec")).alias("specTableContent"),
+    )
