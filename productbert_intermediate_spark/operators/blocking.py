@@ -1,0 +1,237 @@
+"""Blocking stage: offers → candidate pairs (SURVEY.md §3.2, §2.3 J5/J6).
+
+The reference generates candidate pairs by building per-cluster / per-category
+gensim TF indexes in RAM and querying top-k
+(/root/reference/src/processing/sample-training-sets/
+sample_intermediate_training_sets.py:27-190). That design needs the whole
+category in one process. Here the same *capability* — surface pairs of offers
+likely to match, bounded per offer, skew-controlled — is a distributed plan:
+
+1. ``title_for_ts``  — title + first-5 description tokens, lowered, token-set
+   (byte-for-byte the reference's blocking text, :197-205).
+2. document-frequency pruning — drop tokens with df < min_df or
+   df > max_df_frac·N within category (the reference's Dictionary
+   filter_extremes(no_below=2, no_above=0.8), :33-34,100-101).
+3. two blocking-key families:
+   * rare-token keys: each offer emits its R rarest tokens as
+     (category, token) keys — high-recall equivalent of the reference's
+     "shared discriminative tokens" TF-index hits;
+   * MinHash-LSH band keys: K hashes / B bands over the token set —
+     catches jaccard-similar pairs whose rare tokens were pruned.
+4. oversized blocking keys are DROPPED at ``max_block_size`` — the exact
+   skew-control move of the reference's 2..80 cluster cap (:233-240);
+   AQE skew-join handles residual imbalance.
+5. pair expansion is JVM-side: groupBy(key) → sorted id array → nested
+   ``transform`` generates (id_l < id_r) combinations without a join;
+   one shuffle for the groupBy, one for the symmetric-dedup distinct
+   (least/greatest canonicalization, SURVEY §2.4 A13).
+
+Scale: every step is a hash-shuffle on bounded-cardinality keys; the
+combination expansion is capped at max_block_size²/2 rows per key; no
+driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import token_prefix, token_set
+
+DEFAULT_MIN_DF = 2
+DEFAULT_MAX_DF_FRAC = 0.8
+DEFAULT_RARE_TOKENS = 3
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 8
+DEFAULT_MAX_BLOCK_SIZE = 100
+
+
+def build_title_for_ts(offers: DataFrame, desc_tokens: int = 5) -> DataFrame:
+    """Add ``tokens``: set(lower(title + ' ' + first-5 desc tokens).split())."""
+    desc5 = token_prefix(F.coalesce(F.col("description"), F.lit("")), desc_tokens)
+    combined = F.concat_ws(" ", F.coalesce(F.col("title"), F.lit("")), desc5)
+    return offers.withColumn("tokens", token_set(combined))
+
+
+def prune_tokens_by_df(
+    offers: DataFrame,
+    min_df: int = DEFAULT_MIN_DF,
+    max_df_frac: float = DEFAULT_MAX_DF_FRAC,
+    group_col: str = "category",
+) -> DataFrame:
+    """Keep tokens with min_df ≤ df ≤ max_df_frac·N within each group.
+
+    Returns offers with ``tokens`` replaced by the pruned array and ``tok_df``
+    (aligned df counts, ascending-rarity sorted) added for rare-token keys.
+    """
+    toks = offers.select("id", group_col, F.explode("tokens").alias("token"))
+    group_sizes = offers.groupBy(group_col).agg(F.count("*").alias("_n"))
+    df_counts = (
+        toks.groupBy(group_col, "token")
+        .agg(F.count("*").alias("df"))
+        .join(group_sizes, group_col)
+        .where(
+            (F.col("df") >= min_df)
+            & (F.col("df") <= (F.col("_n") * F.lit(max_df_frac)))
+        )
+        .select(group_col, "token", "df")
+    )
+    kept = (
+        toks.join(df_counts, [group_col, "token"])
+        .groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("df", "token"))).alias("_dt"),
+        )
+        .select(
+            "id",
+            F.col("_dt.token").alias("tokens"),
+            F.col("_dt.df").alias("tok_df"),
+        )
+    )
+    return offers.drop("tokens").join(kept, "id", "left").withColumn(
+        "tokens", F.coalesce(F.col("tokens"), F.array().cast("array<string>"))
+    )
+
+
+def rare_token_keys(
+    offers: DataFrame,
+    max_rare_df: int = DEFAULT_MAX_BLOCK_SIZE,
+    group_col: str = "category",
+) -> DataFrame:
+    """Emit (id, key) for EVERY token with df ≤ max_rare_df.
+
+    A per-offer "R rarest" selection cannot guarantee two matching offers
+    pick the same keys (punctuation variants / local adjectives crowd out
+    the shared discriminative tokens). A df threshold does: any token two
+    offers share that is rarer than the threshold produces a collision,
+    and the resulting block size is bounded by df ≤ max_rare_df — skew
+    control falls out of the key definition itself. This mirrors the
+    reference guarantee that within-cluster mates always meet in the
+    per-cluster index (sample_intermediate_training_sets.py:33-39) while
+    its 2..80 cluster cap bounds the work (:233-240).
+
+    ``tokens``/``tok_df`` come df-ascending-sorted from prune_tokens_by_df,
+    so the selection is a JVM-side zip+filter, no extra shuffle.
+    """
+    zipped = F.arrays_zip(
+        F.coalesce(F.col("tok_df"), F.array().cast("array<bigint>")).alias("df"),
+        F.col("tokens").alias("token"),
+    )
+    rare = F.filter(zipped, lambda s: s["df"] <= max_rare_df)
+    return offers.select(
+        "id",
+        F.col(group_col).alias("_g"),
+        F.explode(rare).alias("_s"),
+    ).select(
+        "id",
+        F.concat_ws("\x00", F.lit("tok"), "_g", F.col("_s.token")).alias("key"),
+    )
+
+
+def minhash_band_keys(
+    offers: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    group_col: str = "category",
+) -> DataFrame:
+    """Emit (id, key) LSH band keys over the token set — all JVM-side.
+
+    minhash_s = min(xxhash64(token, s)); band key = hash of its row slice.
+    """
+    rows = num_hashes // bands
+
+    def _mh(seed: int):
+        # one-arg lambda only: F.transform treats two-arg lambdas as
+        # (element, index), which would silently replace the seed.
+        lit_seed = F.lit(seed)
+        return F.array_min(
+            F.transform("tokens", lambda t: F.xxhash64(t, lit_seed))
+        ).alias(f"_mh{seed}")
+
+    sig = [_mh(s) for s in range(num_hashes)]
+    with_sig = offers.where(F.size("tokens") > 0).select(
+        "id", F.col(group_col).alias("_g"), *sig
+    )
+    band_keys = [
+        F.concat_ws(
+            "\x00",
+            F.lit(f"lsh{b}"),
+            "_g",
+            F.xxhash64(*[F.col(f"_mh{b * rows + r}") for r in range(rows)]).cast(
+                "string"
+            ),
+        ).alias(f"_band{b}")
+        for b in range(bands)
+    ]
+    return with_sig.select(
+        "id", F.explode(F.array(*band_keys)).alias("key")
+    )
+
+
+def candidate_pairs_from_keys(
+    keys: DataFrame,
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+) -> DataFrame:
+    """(id, key) → distinct candidate (id_l < id_r) pairs.
+
+    groupBy(key) + JVM-side combination expansion; blocks larger than
+    max_block_size are dropped (reference-style skew control).
+    """
+    grouped = keys.groupBy("key").agg(
+        F.array_sort(F.collect_set("id")).alias("ids")
+    )
+    bounded = grouped.where(
+        (F.size("ids") >= 2) & (F.size("ids") <= max_block_size)
+    )
+    # pairs = [(ids[i], ids[j]) for i < j] — generated without a join
+    pairs = bounded.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "ids",
+                            i + F.lit(2),
+                            F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("id_l"), y.alias("id_r")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_l", "p.id_r").distinct()
+
+
+def block_offers(
+    offers: DataFrame,
+    min_df: int = DEFAULT_MIN_DF,
+    max_df_frac: float = DEFAULT_MAX_DF_FRAC,
+    max_rare_df: int | None = None,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+    use_lsh: bool = True,
+    exclude_cluster_ids: DataFrame | None = None,
+) -> DataFrame:
+    """offers → candidate pairs (id_l, id_r), id_l < id_r, distinct.
+
+    exclude_cluster_ids: optional single-column DF of cluster ids to anti-join
+    away before blocking (the reference's GS exclusion, J4 — only meaningful
+    on corpora that carry a cluster_id column).
+    """
+    if exclude_cluster_ids is not None and "cluster_id" in offers.columns:
+        offers = offers.join(
+            F.broadcast(exclude_cluster_ids.select("cluster_id").distinct()),
+            "cluster_id",
+            "left_anti",
+        )
+    tokenized = build_title_for_ts(offers)
+    pruned = prune_tokens_by_df(tokenized, min_df, max_df_frac)
+    keys = rare_token_keys(pruned, max_rare_df or max_block_size)
+    if use_lsh:
+        keys = keys.unionByName(minhash_band_keys(pruned, num_hashes, bands))
+    return candidate_pairs_from_keys(keys, max_block_size)

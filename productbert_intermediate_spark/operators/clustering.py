@@ -1,0 +1,115 @@
+"""Transitive clustering: match edges → entity ids (SURVEY.md §2.9).
+
+The reference never computes clusters — cluster_id is ground truth in its
+corpus and the matcher emits independent pairwise decisions
+(/root/reference/src/productbert/test.py:87-93). The north rule closes the
+loop: transitive closure of the predicted match graph, computed as iterative
+large-star / small-star connected components in DataFrame joins (Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC 2014 — public
+algorithm). Converges in O(log n) rounds; every round is two self-join-free
+groupBy-min passes; lineage is cut per round with localCheckpoint so plans
+stay O(1) deep at any scale.
+
+Output: (id, entity_id) where entity_id = min member id of the component —
+deterministic, join-free to interpret.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical(edges: DataFrame) -> DataFrame:
+    """Symmetric dedup + self-loop removal: (u>v) canonical orientation."""
+    return (
+        edges.select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node n: link every strictly-larger neighbor to min(Γ(n) ∪ n)."""
+    sym = edges.select("u", "v").unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node n over smaller-or-equal neighbors N: link N ∪ {n} to min."""
+    # edges are (u > v) oriented: neighbors-smaller-than-u of u are exactly v's
+    m = edges.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        edges.join(m, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    self_link = m.select("u", F.col("m").alias("v"))
+    return relink.unionAll(self_link).where(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_l",
+    dst: str = "id_r",
+    max_iterations: int = 50,
+    checkpoint_each_round: bool = True,
+) -> DataFrame:
+    """Match edges → (id, entity_id) via alternating large-star/small-star.
+
+    Only nodes that appear in edges are returned; callers union isolated
+    nodes back with entity_id = id (see assign_entities).
+    """
+    cur = _canonical(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    )
+    prev_fp = None
+    for _ in range(max_iterations):
+        cur = _canonical(
+            _large_star(cur).select(
+                F.col("u").alias("src"), F.col("v").alias("dst")
+            )
+        )
+        cur = _small_star(cur)
+        # small_star output is already (u > v) oriented
+        if checkpoint_each_round:
+            cur = cur.localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # converged: every edge is (member, component-min)
+    members = cur.select(F.col("u").alias("id"), F.col("v").alias("entity_id"))
+    roots = cur.select(F.col("v").alias("id"), F.col("v").alias("entity_id"))
+    return members.unionAll(roots).distinct()
+
+
+def assign_entities(offers: DataFrame, match_edges: DataFrame) -> DataFrame:
+    """offers + match edges → (id, entity_id); isolated offers get entity_id=id."""
+    comp = connected_components(match_edges)
+    return (
+        offers.select("id")
+        .join(comp, "id", "left")
+        .select(
+            "id", F.coalesce("entity_id", F.col("id")).alias("entity_id")
+        )
+    )

@@ -1,0 +1,150 @@
+"""End-to-end ER pipeline: pages → offers → candidates → edges → entities.
+
+The distributed, resumable equivalent of the reference's fixed script order
+(/root/reference/README.md:25-38). Each stage checkpoints through
+StageCatalog; a rerun resumes after the last complete stage (matching the
+reference's USE_TEMP_* caching flags, sample_intermediate_training_sets.py:
+15-17, upgraded with manifest lineage per the north rule).
+
+Run on a cluster as:
+    spark-submit --py-files productbert_intermediate_spark.zip \
+        -m productbert_intermediate_spark.plans.pipeline \
+        --pages <path> --workdir <path> [--labeled <path>]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import blocking as B
+from ..operators import scoring as S
+from ..operators.clustering import assign_entities
+from ..operators.extract import extract_offers
+from ..operators.metrics_ops import evaluate_pairwise
+from ..sources.catalog import StageCatalog
+
+
+def _params_key(**kwargs) -> str:
+    blob = json.dumps(kwargs, sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()[:16]
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    workdir: str,
+    labeled_path: str | None = None,
+    weights: dict[str, float] | None = None,
+    blocking_params: dict | None = None,
+    force: bool = False,
+) -> dict:
+    """Execute (or resume) the full pipeline; returns a run report dict."""
+    weights = weights or S.DEFAULT_WEIGHTS
+    bp = {
+        "min_df": B.DEFAULT_MIN_DF,
+        "max_df_frac": B.DEFAULT_MAX_DF_FRAC,
+        "max_block_size": B.DEFAULT_MAX_BLOCK_SIZE,
+        "num_hashes": B.DEFAULT_NUM_HASHES,
+        "bands": B.DEFAULT_BANDS,
+        **(blocking_params or {}),
+    }
+    cat = StageCatalog(spark, workdir)
+    report: dict = {"stages": {}}
+
+    k_offers = _params_key(src=pages_path)
+    offers, resumed = cat.write_or_resume(
+        "offers",
+        lambda: extract_offers(spark.read.parquet(pages_path)).where(
+            F.col("id").isNotNull()
+        ),
+        params_key=k_offers,
+        force=force,
+    )
+    report["stages"]["offers"] = {"resumed": resumed}
+
+    k_pairs = _params_key(parent=k_offers, **bp)
+    candidates, resumed = cat.write_or_resume(
+        "candidate_pairs",
+        lambda: B.block_offers(
+            offers,
+            min_df=bp["min_df"],
+            max_df_frac=bp["max_df_frac"],
+            max_block_size=bp["max_block_size"],
+            num_hashes=bp["num_hashes"],
+            bands=bp["bands"],
+        ),
+        params_key=k_pairs,
+        force=force,
+    )
+    report["stages"]["candidate_pairs"] = {"resumed": resumed}
+
+    k_scored = _params_key(parent=k_pairs, weights=weights)
+    scored, resumed = cat.write_or_resume(
+        "scored_pairs",
+        lambda: S.score_candidates(candidates, offers, weights=weights).select(
+            "id_l", "id_r", *S.FEATURES, "logit", "score", "match"
+        ),
+        params_key=k_scored,
+        force=force,
+    )
+    report["stages"]["scored_pairs"] = {"resumed": resumed}
+
+    k_ent = _params_key(parent=k_scored)
+    entities, resumed = cat.write_or_resume(
+        "entities",
+        lambda: assign_entities(offers, scored.where("match")),
+        params_key=k_ent,
+        force=force,
+    )
+    report["stages"]["entities"] = {"resumed": resumed}
+
+    report["counts"] = {
+        "offers": offers.count(),
+        "candidate_pairs": candidates.count(),
+        "match_edges": scored.where("match").count(),
+        "entities": entities.select("entity_id").distinct().count(),
+    }
+
+    if labeled_path:
+        labeled = spark.read.parquet(labeled_path)
+        metrics = evaluate_pairwise(entities, labeled)
+        report["pairwise_eval"] = metrics
+        mdf = spark.createDataFrame(
+            [
+                (
+                    k,
+                    float(v) if v is not None else None,
+                )
+                for k, v in metrics.items()
+            ],
+            "metric string, value double",
+        )
+        cat.write("metrics", mdf, params_key=k_ent)
+    return report
+
+
+def main() -> None:  # pragma: no cover - CLI entry
+    import argparse
+
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--pages", required=True)
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--labeled")
+    p.add_argument("--force", action="store_true")
+    args = p.parse_args()
+    spark = get_spark("er-pipeline")
+    report = run_pipeline(
+        spark, args.pages, args.workdir, labeled_path=args.labeled, force=args.force
+    )
+    print(json.dumps(report, indent=2, default=str))
+    spark.stop()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,970 @@
+"""Driver-contract queries over /root/testdata parquet + DuckDB oracles.
+
+Each REGISTRY entry pairs a Spark DataFrame implementation of one operator
+from SURVEY.md §2 (or a training-data-pipeline operator: dedup, similarity
+search, text analysis, multimodal plumbing) with an equivalent ANSI-SQL
+oracle DuckDB runs on the same tables. Column names are aliased identically
+on both sides; floating-point outputs are either exact (single division /
+decimal sums / sequential array folds) or avoided.
+
+Portability notes:
+* cross-engine hashing uses md5 over utf-8 (identical hex in Spark/DuckDB);
+  xxhash64 appears only in Spark-private operators that have no oracle.
+* money sums go through decimal(18,2) on both sides (float sum order is
+  engine-dependent; decimal is exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import ENGLISH_STOPWORDS
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _md5(col):
+    """md5 over utf-8 — identical hex digest in Spark and DuckDB."""
+    return F.md5(F.encode(col, "utf-8"))
+
+
+_STOP_SQL = ",".join("'" + w.replace("'", "''") + "'" for w in ENGLISH_STOPWORDS)
+
+
+def _stop_array():
+    return F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+
+
+# --------------------------------------------------------------------------
+# P1 — byte-exact WDC cleaning (vectorized pandas UDF) vs SQL reconstruction
+
+
+def q_wdc_clean_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.cleaning import clean_string
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = (
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit('"'), F.col("text"), F.lit('"@en '))
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit('"'),
+                F.regexp_replace("text", " ", "   "),
+                F.lit('"@en-US tail'),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.select(
+        "doc_id", clean_string(raw).alias("cleaned")
+    )
+
+
+SQL_WDC_CLEAN_STRING = r"""
+with raw as (
+  select doc_id,
+         case cast(doc_id % 3 as int)
+           when 0 then '"' || text || '"@en '
+           when 1 then '"' || replace(text, ' ', '   ') || '"@en-US tail'
+           else text end as r
+  from documents
+), s1 as (
+  select doc_id,
+         case when strpos(r, '"') > 0 then substr(r, strpos(r, '"') + 1) else '' end as t
+  from raw
+), s2 as (
+  select doc_id,
+         case when strpos(reverse(t), '"') > 0
+              then substr(t, 1, length(t) - strpos(reverse(t), '"'))
+              else '' end as t
+  from s1
+)
+select doc_id,
+       trim(replace(regexp_replace(regexp_replace(t, '"@\S+\s+', ' ', 'g'),
+                                   '\s+', ' ', 'g'), '"', '')) as cleaned
+from s2
+"""
+
+
+# --------------------------------------------------------------------------
+# A-family — TPC-H-style aggregation with decimal-exact sums (A2/A6 analog)
+
+
+def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_LINEITEM_AGG = """
+select l_returnflag, l_linestatus,
+       sum(cast(l_quantity as decimal(18,2))) as sum_qty,
+       sum(cast(l_extendedprice as decimal(18,2))) as sum_base_price,
+       count(*) as count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-01'
+group by l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# J1/J2 — hydration-style multi-join
+
+
+def q_hydration_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "o_orderkey",
+            "c_name",
+            F.col("n_name").alias("nation_name"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+        )
+    )
+
+
+SQL_HYDRATION_JOIN = """
+select o_orderkey, c_name, n_name as nation_name,
+       cast(o_totalprice as decimal(18,2)) as total_price
+from orders join customer on o_custkey = c_custkey
+            join nation on c_nationkey = n_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# J3/J4 — semi / anti joins
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_SEMI_JOIN = """
+select c_custkey, c_name from customer
+where exists (select 1 from orders where o_custkey = c_custkey)
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+SQL_ANTI_JOIN = """
+select c_custkey, c_name from customer
+where not exists (select 1 from orders where o_custkey = c_custkey)
+"""
+
+
+# --------------------------------------------------------------------------
+# A1 — group-count + HAVING band (the reference's 2..80 cluster cap)
+
+
+def q_cluster_size_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .where((F.col("n_orders") >= 2) & (F.col("n_orders") <= 80))
+    )
+
+
+SQL_CLUSTER_SIZE_CAP = """
+select o_custkey, count(*) as n_orders from orders
+group by o_custkey having count(*) >= 2 and count(*) <= 80
+"""
+
+
+# --------------------------------------------------------------------------
+# A12 — exact dedup with deterministic survivor (min id per normalized key)
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return (
+        docs.groupBy(norm.alias("norm_text"))
+        .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_copies"))
+        .select("survivor_id", "n_copies")
+    )
+
+
+SQL_EXACT_DEDUP = r"""
+select min(doc_id) as survivor_id, count(*) as n_copies
+from documents
+group by trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+"""
+
+
+# --------------------------------------------------------------------------
+# A13 — symmetric pair canonicalization
+
+
+def q_symmetric_pair_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.least("l_partkey", "l_suppkey").alias("id_a"),
+            F.greatest("l_partkey", "l_suppkey").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+SQL_SYMMETRIC_PAIR_DEDUP = """
+select distinct least(l_partkey, l_suppkey) as id_a,
+                greatest(l_partkey, l_suppkey) as id_b
+from lineitem
+"""
+
+
+# --------------------------------------------------------------------------
+# W1 — deterministic top-k per group
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+select o_custkey, o_orderkey, rn from (
+  select o_custkey, o_orderkey,
+         row_number() over (partition by o_custkey
+                            order by o_totalprice desc, o_orderkey asc) as rn
+  from orders) where rn <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# W2 — first-per-group (latest order per customer)
+
+
+def q_first_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+    )
+
+
+SQL_FIRST_PER_GROUP = """
+select o_custkey, o_orderkey, o_orderdate from (
+  select *, row_number() over (partition by o_custkey
+                               order by o_orderdate desc, o_orderkey asc) as rn
+  from orders) where rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# U1 — union + label
+
+
+def q_union_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    return cust.select(
+        F.col("c_custkey").alias("entity_key"), F.lit(1).alias("label")
+    ).unionByName(
+        supp.select(F.col("s_suppkey").alias("entity_key"), F.lit(0).alias("label"))
+    )
+
+
+SQL_UNION_LABEL = """
+select c_custkey as entity_key, 1 as label from customer
+union all
+select s_suppkey as entity_key, 0 as label from supplier
+"""
+
+
+# --------------------------------------------------------------------------
+# A4 — one-pass confusion matrix
+
+
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = (F.col("vec_id") % 3 == 0).cast("int")
+    truth = (F.col("label") == 0).cast("int")
+    return emb.agg(
+        F.sum(((pred == 1) & (truth == 1)).cast("int")).alias("tp"),
+        F.sum(((pred == 1) & (truth == 0)).cast("int")).alias("fp"),
+        F.sum(((pred == 0) & (truth == 0)).cast("int")).alias("tn"),
+        F.sum(((pred == 0) & (truth == 1)).cast("int")).alias("fn"),
+    )
+
+
+SQL_CONFUSION_MATRIX = """
+select sum(case when vec_id % 3 = 0 and label = 0 then 1 else 0 end) as tp,
+       sum(case when vec_id % 3 = 0 and label <> 0 then 1 else 0 end) as fp,
+       sum(case when vec_id % 3 <> 0 and label <> 0 then 1 else 0 end) as tn,
+       sum(case when vec_id % 3 <> 0 and label = 0 then 1 else 0 end) as fn
+from embeddings
+"""
+
+
+# --------------------------------------------------------------------------
+# M5 — label encoding (dense_rank over distinct values)
+
+
+def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source")
+        .distinct()
+        .withColumn("code", F.dense_rank().over(Window.orderBy("source")) - 1)
+    )
+
+
+SQL_LABEL_ENCODE = """
+select source, dense_rank() over (order by source) - 1 as code
+from (select distinct source from documents)
+"""
+
+
+# --------------------------------------------------------------------------
+# A7 — histogram binning (integer buckets)
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy((F.col("n_chars") / F.lit(50)).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_HISTOGRAM = """
+select cast(n_chars // 50 as bigint) as bucket, count(*) as n_docs
+from documents group by 1
+"""
+
+
+# --------------------------------------------------------------------------
+# A6 — token-length stats (integral only)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split("text", r"\s+"))
+    return docs.groupBy("lang").agg(
+        F.max(ntok).alias("max_tokens"),
+        F.min(ntok).alias("min_tokens"),
+        F.sum(ntok).alias("sum_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+select lang,
+       max(len(regexp_split_to_array(text, '\s+'))) as max_tokens,
+       min(len(regexp_split_to_array(text, '\s+'))) as min_tokens,
+       sum(len(regexp_split_to_array(text, '\s+'))) as sum_tokens,
+       count(*) as n_docs
+from documents group by lang
+"""
+
+
+# --------------------------------------------------------------------------
+# A3 — distinct counts
+
+
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.countDistinct("source").alias("n_sources"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+SQL_DISTINCT_COUNT = """
+select lang, count(distinct source) as n_sources, count(*) as n_docs
+from documents group by lang
+"""
+
+
+# --------------------------------------------------------------------------
+# W6 — deterministic shuffle (portable md5 ordering)
+
+
+def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    key = _md5(F.concat(F.col("doc_id").cast("string"), F.lit(":seed42")))
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .withColumn("pos", F.row_number().over(Window.orderBy("shuffle_key")))
+        .where(F.col("pos") <= 20)
+        .select("doc_id", "pos")
+    )
+
+
+SQL_DET_SHUFFLE = """
+select doc_id, pos from (
+  select doc_id,
+         row_number() over (order by md5(cast(doc_id as varchar) || ':seed42')) as pos
+  from documents) where pos <= 20
+"""
+
+
+# --------------------------------------------------------------------------
+# W7 — seeded random sampling (portable: md5 prefix)
+
+
+def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = _md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sample42")))
+    return docs.where(F.substring(h, 1, 1).isin("0", "1")).select("doc_id", "lang")
+
+
+SQL_SEEDED_SAMPLE = """
+select doc_id, lang from documents
+where substr(md5(cast(doc_id as varchar) || ':sample42'), 1, 1) in ('0','1')
+"""
+
+
+# --------------------------------------------------------------------------
+# P11 — blank→NULL + cast
+
+
+def q_blank_to_null_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import blank_to_null_double
+
+    part = _t(spark, sf_dir, "part")
+    noisy = (
+        F.when(F.col("p_size") % 5 == 0, F.lit(""))
+        .when(F.col("p_size") % 5 == 1, F.lit("  "))
+        .otherwise(F.col("p_size").cast("string"))
+    )
+    return part.select(
+        "p_partkey", blank_to_null_double(noisy).alias("parsed_size")
+    )
+
+
+SQL_BLANK_TO_NULL_CAST = """
+select p_partkey,
+       case when trim(noisy) = '' then null else cast(noisy as double) end as parsed_size
+from (select p_partkey,
+             case cast(p_size % 5 as int) when 0 then '' when 1 then '  '
+                  else cast(p_size as varchar) end as noisy
+      from part)
+"""
+
+
+# --------------------------------------------------------------------------
+# P4 — stopword removal
+
+
+def q_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import remove_stopwords
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", remove_stopwords(F.col("text")).alias("filtered_text")
+    )
+
+
+SQL_STOPWORD_REMOVAL = f"""
+select doc_id,
+       array_to_string(list_filter(string_split(text, ' '),
+                                   x -> x not in ({_STOP_SQL})), ' ') as filtered_text
+from documents
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup: MinHash-LSH (portable md5 minhash, 8 hashes × 4 bands)
+
+_MINHASH_K = 8
+_MINHASH_BANDS = 4
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate candidate pairs: 3-word shingles → minhash → LSH bands.
+
+    Shingling (vs raw unigrams) keeps collision probability proportional to
+    real textual overlap — unigram minhash over a small vocabulary degenerates
+    to almost-all-pairs, which both misranks duplicates and explodes the
+    band self-join at scale.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    shingles = F.when(F.size(words) < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, i + 1),
+                F.element_at(words, i + 2),
+            ),
+        )
+    )
+    toks = F.array_distinct(shingles)
+
+    def _mh(seed: int):
+        # NB: the lambda must take exactly one arg — a two-arg lambda is
+        # interpreted by F.transform as (element, index).
+        suffix = f":{seed}"
+        return F.array_min(
+            F.transform(
+                toks,
+                lambda t: F.md5(F.encode(F.concat(t, F.lit(suffix)), "utf-8")),
+            )
+        ).alias(f"mh{seed}")
+
+    mh = [_mh(s) for s in range(_MINHASH_K)]
+    sig = docs.where(F.length("text") > 0).select("doc_id", *mh)
+    rows = _MINHASH_K // _MINHASH_BANDS
+    bands = [
+        F.md5(
+            F.encode(
+                F.concat(*[F.col(f"mh{b * rows + r}") for r in range(rows)]),
+                "utf-8",
+            )
+        ).alias(f"b{b}")
+        for b in range(_MINHASH_BANDS)
+    ]
+    keyed = sig.select("doc_id", F.explode(F.array(*bands)).alias("key"))
+    other = keyed.select(F.col("doc_id").alias("doc_b"), "key")
+    return (
+        keyed.join(other, "key")
+        .where(F.col("doc_id") < F.col("doc_b"))
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+
+def _minhash_sql() -> str:
+    mh_cols = ",\n       ".join(
+        f"min(md5(t || ':{s}')) as mh{s}" for s in range(_MINHASH_K)
+    )
+    rows = _MINHASH_K // _MINHASH_BANDS
+    band_exprs = ", ".join(
+        "md5(" + " || ".join(f"mh{b * rows + r}" for r in range(rows)) + ")"
+        for b in range(_MINHASH_BANDS)
+    )
+    return f"""
+with words as (
+  select doc_id, string_split(text, ' ') as w
+  from documents where length(text) > 0
+), tok as (
+  select doc_id,
+         unnest(list_distinct(
+           case when len(w) < 3 then []
+                else list_transform(range(1, len(w) - 1),
+                                    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+           end)) as t
+  from words
+), mh as (
+  select doc_id, {mh_cols}
+  from tok group by doc_id
+), bands as (
+  select doc_id, unnest([{band_exprs}]) as key from mh
+)
+select distinct a.doc_id as doc_a, b.doc_id as doc_b
+from bands a join bands b on a.key = b.key and a.doc_id < b.doc_id
+"""
+
+
+SQL_MINHASH_LSH_PAIRS = _minhash_sql()
+
+
+# --------------------------------------------------------------------------
+# dedup: n-gram (token) jaccard within source
+
+_JACCARD_THRESHOLD = 0.6
+
+
+def q_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    other = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"),
+        F.col("toks").alias("toks_b"),
+    )
+    joined = docs.join(
+        other,
+        (F.col("source") == F.col("source_b")) & (F.col("doc_id") < F.col("doc_b")),
+    )
+    inter = F.size(F.array_intersect("toks", "toks_b")).cast("double")
+    union = F.size(F.array_union("toks", "toks_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return joined.where(jac >= _JACCARD_THRESHOLD).select(
+        F.col("doc_id").alias("doc_a"), "doc_b"
+    )
+
+
+SQL_JACCARD_DUP_PAIRS = f"""
+with d as (
+  select doc_id, source, list_distinct(string_split(text, ' ')) as toks
+  from documents
+)
+select a.doc_id as doc_a, b.doc_id as doc_b
+from d a join d b on a.source = b.source and a.doc_id < b.doc_id
+where len(list_intersect(a.toks, b.toks)) * 1.0
+      / nullif(len(list_distinct(list_concat(a.toks, b.toks))), 0) >= {_JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup: SimHash (portable 16-bit, md5-derived per-token bits)
+
+_SIMHASH_BITS = 16
+
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split("text", " "))
+    tok_md5 = F.transform(toks, lambda t: F.md5(F.encode(t, "utf-8")))
+
+    def _bit(i: int):
+        # bit i of a token = hex digit i of its md5 ≥ '8'; two-arg lambdas
+        # only (acc, elem) — the position is baked in via closure-free pos.
+        pos = i + 1
+        weight = 2 ** i
+        votes = F.aggregate(
+            tok_md5,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, pos, 1) >= "8", 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1)).otherwise(F.lit(0)) * weight
+
+    bit_cols = [_bit(i) for i in range(_SIMHASH_BITS)]
+    fingerprint = sum(bit_cols[1:], bit_cols[0])
+    return docs.where(F.length("text") > 0).select(
+        "doc_id", fingerprint.cast("long").alias("simhash")
+    )
+
+
+def _simhash_sql() -> str:
+    bit_terms = " + ".join(
+        f"(case when sum(case when substr(md5(t), {i + 1}, 1) >= '8' "
+        f"then 1 else -1 end) > 0 then {2 ** i} else 0 end)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+with tok as (
+  select doc_id, unnest(list_distinct(string_split(text, ' '))) as t
+  from documents where length(text) > 0
+)
+select doc_id, cast({bit_terms} as bigint) as simhash
+from tok group by doc_id
+"""
+
+
+SQL_SIMHASH_FINGERPRINT = _simhash_sql()
+
+
+# --------------------------------------------------------------------------
+# similarity search: cosine threshold vs a query vector (sequential fold —
+# identical float semantics both engines)
+
+
+def q_ann_cosine_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec")
+    )
+    joined = emb.crossJoin(F.broadcast(query))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v))
+    nb = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda a, v: a + v * v))
+    cos = dot / (na * nb)
+    return joined.where(cos >= 0.8).select("vec_id", "label")
+
+
+SQL_ANN_COSINE_MATCHES = """
+with q as (select embedding as qvec from embeddings where vec_id = 0)
+select vec_id, label
+from embeddings, q
+where list_dot_product(embedding, qvec)
+      / (sqrt(list_dot_product(embedding, embedding))
+         * sqrt(list_dot_product(qvec, qvec))) >= 0.8
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis: quality scoring (single-division ratios are float-exact)
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), _stop_array()))
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_stop.alias("n_stopword_types"),
+        (n_stop.cast("double") / n_tok.cast("double")).alias("stopword_type_ratio"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+select doc_id,
+       len(string_split(text, ' ')) as n_tokens,
+       len(list_intersect(list_distinct(string_split(text, ' ')),
+                          [{_STOP_SQL}])) as n_stopword_types,
+       len(list_intersect(list_distinct(string_split(text, ' ')),
+                          [{_STOP_SQL}])) * 1.0
+         / len(string_split(text, ' ')) as stopword_type_ratio,
+       length(text) as n_chars_actual
+from documents
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis: BPE-ish regex token count
+
+
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_PATTERN)).alias("n_bpe_tokens"),
+    )
+
+
+SQL_TOKEN_COUNT_BPE = rf"""
+select doc_id, len(regexp_extract_all(text, '{_BPE_PATTERN}')) as n_bpe_tokens
+from documents
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis: document fingerprint (normalized md5)
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select("doc_id", _md5(norm).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = r"""
+select doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fingerprint
+from documents
+"""
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing: opaque binary + typed metadata
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.md5(blob).alias("digest"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+select doc_id, octet_length(encode(text)) as n_bytes, md5(text) as digest
+from documents
+"""
+
+
+# --------------------------------------------------------------------------
+# ER blocking over documents-as-corpus (rare-token family — SQL-expressible)
+
+
+def q_er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import blocking as B
+
+    docs = _t(spark, sf_dir, "documents")
+    offers = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("category"),
+        F.col("text").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+    )
+    return B.block_offers(
+        offers, max_rare_df=5, max_block_size=5, use_lsh=False
+    ).select(F.col("id_l").alias("doc_a"), F.col("id_r").alias("doc_b"))
+
+
+SQL_ER_BLOCKING_PAIRS = r"""
+with tok as (
+  select doc_id, source,
+         unnest(list_distinct(string_split(lower(text), ' '))) as t
+  from documents
+), grp as (
+  select source, count(*) as n from documents group by source
+), dfc as (
+  select tok.source, t, count(*) as df
+  from tok group by tok.source, t
+), kept as (
+  select dfc.source as source, dfc.t as t
+  from dfc join grp on dfc.source = grp.source
+  where df >= 2 and df <= least(5, cast(floor(0.8 * n) as bigint))
+), keyed as (
+  select tok.doc_id as doc_id, tok.source as source, tok.t as t from tok
+  join kept on tok.source = kept.source and tok.t = kept.t
+)
+select distinct a.doc_id as doc_a, b.doc_id as doc_b
+from keyed a join keyed b
+  on a.source = b.source and a.t = b.t and a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Spark-private operators (no SQL oracle — driver records rows-only checks)
+
+
+def q_porter_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.stemmer import stem
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", stem(F.col("text")).alias("stemmed"))
+
+
+def q_er_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import blocking as B
+    from ..operators import scoring as S
+
+    docs = _t(spark, sf_dir, "documents")
+    offers = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("category"),
+        F.col("text").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("string").alias("brand"),
+        F.lit(None).cast("string").alias("price"),
+        F.lit(None).cast("string").alias("specTableContent"),
+    )
+    pairs = B.block_offers(offers, max_rare_df=5, max_block_size=5, use_lsh=False)
+    return S.score_candidates(pairs, offers).select(
+        "id_l", "id_r", "score", "match"
+    )
+
+
+def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import assign_entities
+
+    scored = q_er_score_pairs(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    return assign_entities(docs, scored.where("match"))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(query))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v))
+    nb = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda a, v: a + v * v))
+    cos = (dot / (na * nb)).alias("cos")
+    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        joined.select("vec_id", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("vec_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+
+REGISTRY: dict[str, tuple] = {
+    # P/A/J/W/U operator family (SURVEY.md §2)
+    "wdc_clean_string": (q_wdc_clean_string, SQL_WDC_CLEAN_STRING),
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "hydration_join": (q_hydration_join, SQL_HYDRATION_JOIN),
+    "semi_join": (q_semi_join, SQL_SEMI_JOIN),
+    "anti_join": (q_anti_join, SQL_ANTI_JOIN),
+    "cluster_size_cap": (q_cluster_size_cap, SQL_CLUSTER_SIZE_CAP),
+    "exact_dedup": (q_exact_dedup, SQL_EXACT_DEDUP),
+    "symmetric_pair_dedup": (q_symmetric_pair_dedup, SQL_SYMMETRIC_PAIR_DEDUP),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "first_per_group": (q_first_per_group, SQL_FIRST_PER_GROUP),
+    "union_label": (q_union_label, SQL_UNION_LABEL),
+    "confusion_matrix": (q_confusion_matrix, SQL_CONFUSION_MATRIX),
+    "label_encode": (q_label_encode, SQL_LABEL_ENCODE),
+    "histogram": (q_histogram, SQL_HISTOGRAM),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
+    "det_shuffle": (q_det_shuffle, SQL_DET_SHUFFLE),
+    "seeded_sample": (q_seeded_sample, SQL_SEEDED_SAMPLE),
+    "blank_to_null_cast": (q_blank_to_null_cast, SQL_BLANK_TO_NULL_CAST),
+    "stopword_removal": (q_stopword_removal, SQL_STOPWORD_REMOVAL),
+    # training-data pipeline operators
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH_PAIRS),
+    "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
+    "simhash_fingerprint": (q_simhash_fingerprint, SQL_SIMHASH_FINGERPRINT),
+    "ann_cosine_matches": (q_ann_cosine_matches, SQL_ANN_COSINE_MATCHES),
+    "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
+    "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    # ER pipeline over documents-as-corpus
+    "er_blocking_pairs": (q_er_blocking_pairs, SQL_ER_BLOCKING_PAIRS),
+    # Spark-private (no SQL equivalent → rows-only driver check)
+    "porter_stem": (q_porter_stem, None),
+    "er_score_pairs": (q_er_score_pairs, None),
+    "er_entities": (q_er_entities, None),
+    "ann_topk": (q_ann_topk, None),
+}

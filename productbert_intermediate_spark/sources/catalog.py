@@ -1,0 +1,147 @@
+"""Stage checkpoint catalog: resumable stage tables + manifest lineage.
+
+Plays the role the reference's per-stage pickle files play
+(/root/reference/src/processing/preprocess/preprocess_corpus.py:31,47 — every
+stage writes its whole DataFrame to disk and the next stage reads it back),
+upgraded to the north rule's requirements: columnar stage tables, a manifest
+with per-partition lineage + metrics, and existence checks that make reruns
+resume after the last complete stage.
+
+The API is deliberately shaped like an Iceberg catalog
+(``write``/``read``/``exists`` ≈ ``writeTo(...).createOrReplace()`` /
+``read.format("iceberg")``): this sandbox has no Iceberg runtime jar, so
+tables are parquet directories whose atomicity comes from Spark's
+``_SUCCESS`` marker plus the manifest commit written strictly after the
+data. On a cluster with Iceberg configured, swap the two marked methods.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class StageCatalog:
+    """Parquet-backed stage tables + `_manifest.jsonl` lineage log."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -------------------------------------------------------------- paths
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.jsonl")
+
+    # ------------------------------------------------------------ manifest
+
+    def manifest_entries(self) -> list[dict]:
+        if not os.path.exists(self.manifest_path):
+            return []
+        with open(self.manifest_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def latest_entry(self, name: str) -> dict | None:
+        entries = [e for e in self.manifest_entries() if e["stage"] == name]
+        return entries[-1] if entries else None
+
+    def exists(self, name: str, params_key: str | None = None) -> bool:
+        """Stage complete: _SUCCESS marker + manifest entry (+ params match)."""
+        if not os.path.exists(os.path.join(self.path(name), "_SUCCESS")):
+            return False
+        entry = self.latest_entry(name)
+        if entry is None:
+            return False
+        if params_key is not None and entry.get("params_key") != params_key:
+            return False
+        return True
+
+    # ----------------------------------------------------------- write/read
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        params_key: str | None = None,
+        partition_by: list[str] | None = None,
+    ) -> dict:
+        """Checkpoint a stage table; record per-partition lineage + metrics.
+
+        Iceberg equivalent: df.writeTo(f"cat.db.{name}").createOrReplace().
+        """
+        target = self.path(name)
+        start = time.time()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(target)
+        wall = time.time() - start
+
+        written = self.spark.read.parquet(target)
+        per_file = (
+            written.groupBy(
+                F.regexp_extract(
+                    F.input_file_name(), r"([^/]+\.parquet)", 1
+                ).alias("file")
+            )
+            .agg(
+                F.count("*").alias("rows"),
+                F.bit_xor(F.xxhash64(*written.columns)).alias("checksum"),
+            )
+            .collect()
+        )
+        rows = sum(int(r["rows"]) for r in per_file)
+        checksum = 0
+        for r in per_file:
+            checksum ^= int(r["checksum"] or 0)
+        entry = {
+            "stage": name,
+            "params_key": params_key,
+            "rows": rows,
+            "num_files": len(per_file),
+            "checksum": checksum,
+            "partitions": [
+                {
+                    "file": r["file"],
+                    "rows": int(r["rows"]),
+                    "checksum": int(r["checksum"] or 0),
+                }
+                for r in sorted(per_file, key=lambda r: r["file"])
+            ],
+            "wall_sec": round(wall, 3),
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        with open(self.manifest_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        return entry
+
+    def read(self, name: str) -> DataFrame:
+        """Iceberg equivalent: spark.read.format('iceberg').load(...)."""
+        return self.spark.read.parquet(self.path(name))
+
+    def write_or_resume(
+        self,
+        name: str,
+        build,
+        params_key: str | None = None,
+        force: bool = False,
+        partition_by: list[str] | None = None,
+    ) -> tuple[DataFrame, bool]:
+        """Return (stage DataFrame, resumed_from_checkpoint).
+
+        ``build`` is a zero-arg callable producing the stage DataFrame; it is
+        only invoked when the checkpoint is missing/stale/forced.
+        """
+        if not force and self.exists(name, params_key):
+            return self.read(name), True
+        self.write(name, build(), params_key=params_key, partition_by=partition_by)
+        return self.read(name), False

@@ -268,6 +268,35 @@ def generate_labeled_pairs(
         by_cat.setdefault(cat_of[oid], []).append(oid)
 
     neg: set[tuple[int, int]] = set()
+    # hard negatives first (FIXTURES.md: high textual similarity, cross-cluster):
+    # offers from different clusters sharing brand+model look near-identical
+    # except for their code/series tokens.
+    bm_of = {}
+    for oid, title in zip(pool["id"].tolist(), pool["title"].tolist()):
+        toks = set((title or "").lower().split())
+        bm_of[oid] = toks
+    by_brand_model: dict[tuple[str, str, str], list[int]] = {}
+    # reconstruct (category, brand, model) from the cluster plan via truth cols
+    brand_col = dict(zip(pool["id"].tolist(), pool["brand"].tolist()))
+    for oid in pool["id"].tolist():
+        shared = sorted(t for t in bm_of[oid] if t.startswith("model"))
+        if not shared:
+            continue
+        keyt = (cat_of[oid], (brand_col[oid] or "").lower(), shared[0])
+        by_brand_model.setdefault(keyt, []).append(oid)
+    n_hard = n_neg // 2
+    for keyt in sorted(by_brand_model):
+        ids = by_brand_model[keyt]
+        clusters_here = {cluster_of[i] for i in ids}
+        if len(clusters_here) < 2 or len(neg) >= n_hard:
+            continue
+        rr = _rng(seed, f"hardneg:{keyt}")
+        for _ in range(4):
+            a, b = rr.sample(ids, 2)
+            if cluster_of[a] != cluster_of[b]:
+                key = (min(a, b), max(a, b))
+                if key not in pos:
+                    neg.add(key)
     guard = 0
     while len(neg) < n_neg and guard < n_neg * 50:
         guard += 1

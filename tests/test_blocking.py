@@ -1,0 +1,117 @@
+"""Blocking stage: recall guarantee, brute-force oracle, skew cap, determinism."""
+
+from collections import defaultdict
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from productbert_intermediate_spark.operators import blocking as B
+from productbert_intermediate_spark.operators.extract import extract_offers
+
+
+def _offers(spark, fixtures_dir):
+    pages = spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+    return extract_offers(pages).where("id is not null")
+
+
+def test_blocking_full_recall_on_planted_clusters(spark, fixtures_dir):
+    offers = _offers(spark, fixtures_dir).cache()
+    truth = (
+        spark.read.parquet(f"{fixtures_dir}/offers_truth.parquet")
+        .select("id", "cluster_id")
+        .toPandas()
+    )
+    pairs = B.block_offers(offers).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_l"], pairs["id_r"])}
+
+    extracted = set(offers.select("id").toPandas()["id"])
+    by_cluster = defaultdict(list)
+    for i, c in zip(truth["id"], truth["cluster_id"]):
+        if i in extracted:
+            by_cluster[c].append(i)
+    missed = []
+    for ids in by_cluster.values():
+        ids = sorted(ids)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                if (a, b) not in got:
+                    missed.append((a, b))
+    assert not missed, f"blocking missed {len(missed)} true pairs, e.g. {missed[:5]}"
+
+
+def test_rare_token_keys_match_bruteforce_oracle(spark, fixtures_dir):
+    """Pairs from the token family == all pairs sharing a token with
+    min_df ≤ df ≤ min(max_rare_df, max_df_frac·N) within category (oracle
+    computed independently in pandas)."""
+    offers = _offers(spark, fixtures_dir).cache()
+    tokenized = B.build_title_for_ts(offers)
+    pruned = B.prune_tokens_by_df(tokenized)
+    keys = B.rare_token_keys(pruned, max_rare_df=50)
+    got = set(
+        map(
+            tuple,
+            B.candidate_pairs_from_keys(keys, max_block_size=10**9)
+            .toPandas()[["id_l", "id_r"]]
+            .to_numpy()
+            .tolist(),
+        )
+    )
+
+    pdf = offers.select("id", "category", "title", "description").toPandas()
+
+    def toks(row):
+        title = row["title"] or ""
+        desc5 = " ".join((row["description"] or "").split(" ")[:5])
+        return set((title + " " + desc5).lower().split())
+
+    pdf["tokens"] = pdf.apply(toks, axis=1)
+    want = set()
+    for cat, grp in pdf.groupby("category"):
+        n = len(grp)
+        df_count = defaultdict(int)
+        for ts in grp["tokens"]:
+            for t in ts:
+                df_count[t] += 1
+        keep = {
+            t
+            for t, c in df_count.items()
+            if 2 <= c <= min(50, int(0.8 * n))
+        }
+        by_token = defaultdict(list)
+        for i, ts in zip(grp["id"], grp["tokens"]):
+            for t in ts & keep:
+                by_token[t].append(i)
+        for ids in by_token.values():
+            ids = sorted(ids)
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    want.add((a, b))
+    assert got == want
+
+
+def test_oversized_blocks_are_dropped(spark):
+    rows = [(i, "tok shared") for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, title string").withColumn(
+        "category", F.lit("c")
+    ).withColumn("description", F.lit(None).cast("string"))
+    keys = B.rare_token_keys(
+        B.prune_tokens_by_df(B.build_title_for_ts(df), max_df_frac=2.0),
+        max_rare_df=1000,
+    )
+    capped = B.candidate_pairs_from_keys(keys, max_block_size=10)
+    assert capped.count() == 0
+    uncapped = B.candidate_pairs_from_keys(keys, max_block_size=100)
+    assert uncapped.count() == 30 * 29 // 2
+
+
+def test_blocking_is_deterministic(spark, fixtures_dir):
+    offers = _offers(spark, fixtures_dir)
+    a = sorted(map(tuple, B.block_offers(offers).collect()))
+    b = sorted(map(tuple, B.block_offers(offers).collect()))
+    assert a == b
+
+
+def test_candidate_pairs_canonical_and_distinct(spark, fixtures_dir):
+    pairs = B.block_offers(_offers(spark, fixtures_dir)).toPandas()
+    assert (pairs["id_l"] < pairs["id_r"]).all()
+    assert not pairs.duplicated(["id_l", "id_r"]).any()

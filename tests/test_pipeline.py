@@ -1,0 +1,101 @@
+"""End-to-end gates: pairwise F1 ≥ 0.99, resume-from-checkpoint, determinism."""
+
+import json
+import shutil
+
+import pytest
+
+from productbert_intermediate_spark.plans.pipeline import run_pipeline
+from productbert_intermediate_spark.sources.catalog import StageCatalog
+
+
+@pytest.fixture(scope="module")
+def e2e_run(spark, e2e_dir, tmp_path_factory):
+    workdir = str(tmp_path_factory.mktemp("pipeline_run"))
+    report = run_pipeline(
+        spark,
+        f"{e2e_dir}/pages.parquet",
+        workdir,
+        labeled_path=f"{e2e_dir}/labeled_pairs_gs.parquet",
+    )
+    return workdir, report
+
+
+def test_pairwise_f1_gate(e2e_run):
+    """North-rule gate: pairwise F1 ≥ 0.99 on labeled pairs."""
+    _, report = e2e_run
+    f1 = report["pairwise_eval"]["f1"]
+    assert f1 is not None and f1 >= 0.99, report["pairwise_eval"]
+
+
+def test_manifest_has_lineage(e2e_run):
+    workdir, _ = e2e_run
+    with open(f"{workdir}/_manifest.jsonl") as f:
+        entries = [json.loads(l) for l in f if l.strip()]
+    stages = {e["stage"] for e in entries}
+    assert {"offers", "candidate_pairs", "scored_pairs", "entities"} <= stages
+    for e in entries:
+        assert e["rows"] >= 0
+        assert isinstance(e["partitions"], list) and e["partitions"]
+        assert all("rows" in p and "checksum" in p for p in e["partitions"])
+        assert "wall_sec" in e
+
+
+def test_rerun_resumes_every_stage(spark, e2e_dir, e2e_run):
+    workdir, first = e2e_run
+    report = run_pipeline(
+        spark,
+        f"{e2e_dir}/pages.parquet",
+        workdir,
+        labeled_path=f"{e2e_dir}/labeled_pairs_gs.parquet",
+    )
+    assert all(s["resumed"] for s in report["stages"].values()), report["stages"]
+    assert report["pairwise_eval"] == first["pairwise_eval"]
+
+
+def test_resume_after_partial_failure(spark, e2e_dir, e2e_run, tmp_path_factory):
+    """Kill-after-stage-k simulation: later stages rebuilt, earlier resumed,
+    final clusters identical."""
+    workdir, first = e2e_run
+    cat = StageCatalog(spark, workdir)
+    before = sorted(map(tuple, cat.read("entities").collect()))
+
+    shutil.rmtree(f"{workdir}/entities")
+    shutil.rmtree(f"{workdir}/scored_pairs")
+    report = run_pipeline(
+        spark,
+        f"{e2e_dir}/pages.parquet",
+        workdir,
+        labeled_path=f"{e2e_dir}/labeled_pairs_gs.parquet",
+    )
+    assert report["stages"]["offers"]["resumed"]
+    assert report["stages"]["candidate_pairs"]["resumed"]
+    assert not report["stages"]["scored_pairs"]["resumed"]
+    assert not report["stages"]["entities"]["resumed"]
+    after = sorted(map(tuple, cat.read("entities").collect()))
+    assert before == after
+    assert report["pairwise_eval"] == first["pairwise_eval"]
+
+
+def test_stale_params_invalidate_checkpoint(spark, e2e_dir, e2e_run):
+    workdir, _ = e2e_run
+    report = run_pipeline(
+        spark,
+        f"{e2e_dir}/pages.parquet",
+        workdir,
+        blocking_params={"max_block_size": 99},
+    )
+    # changed blocking params → candidate_pairs and downstream rebuilt
+    assert report["stages"]["offers"]["resumed"]
+    assert not report["stages"]["candidate_pairs"]["resumed"]
+
+
+def test_pipeline_deterministic_across_workdirs(spark, e2e_dir, e2e_run, tmp_path_factory):
+    workdir1, _ = e2e_run
+    workdir2 = str(tmp_path_factory.mktemp("pipeline_run2"))
+    run_pipeline(spark, f"{e2e_dir}/pages.parquet", workdir2)
+    cat1 = StageCatalog(spark, workdir1)
+    cat2 = StageCatalog(spark, workdir2)
+    e1 = sorted(map(tuple, cat1.read("entities").collect()))
+    e2 = sorted(map(tuple, cat2.read("entities").collect()))
+    assert e1 == e2

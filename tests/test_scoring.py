@@ -1,0 +1,92 @@
+"""Scoring stage: hydration oracle, feature values, truncation parity, calibration."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from productbert_intermediate_spark.functions.similarity import (
+    jaro_winkler_py,
+)
+from productbert_intermediate_spark.operators import scoring as S
+from productbert_intermediate_spark.operators.extract import extract_offers
+
+
+def test_jaro_winkler_known_values():
+    # canonical values from the Winkler 1990 literature
+    assert jaro_winkler_py("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
+    assert jaro_winkler_py("DWAYNE", "DUANE") == pytest.approx(0.84, abs=1e-4)
+    assert jaro_winkler_py("DIXON", "DICKSONX") == pytest.approx(0.8133, abs=1e-4)
+    assert jaro_winkler_py("abc", "abc") == 1.0
+    assert jaro_winkler_py("abc", "xyz") == 0.0
+    assert jaro_winkler_py(None, "abc") == 0.0
+
+
+def test_hydration_matches_pandas_oracle(spark, fixtures_dir):
+    offers = extract_offers(
+        spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+    ).where("id is not null")
+    opd = offers.toPandas()
+    ids = sorted(opd["id"])[:40]
+    pairs = [(ids[i], ids[i + 1]) for i in range(0, len(ids) - 1, 2)]
+    pairs_df = spark.createDataFrame(pairs, "id_l long, id_r long")
+    got = S.hydrate_pairs(pairs_df, offers).toPandas().sort_values("id_l")
+
+    idx = opd.set_index("id")
+    for _, row in got.iterrows():
+        for attr in S.PAIR_ATTRS:
+            lv = idx.at[row["id_l"], attr]
+            rv = idx.at[row["id_r"], attr]
+            assert (row[f"{attr}_left"] == lv) or (
+                pd.isna(row[f"{attr}_left"]) and pd.isna(lv)
+            )
+            assert (row[f"{attr}_right"] == rv) or (
+                pd.isna(row[f"{attr}_right"]) and pd.isna(rv)
+            )
+
+
+def test_sequence_truncation_matches_reference_cut(spark):
+    """token_prefix == ' '.join(x.split(' ')[:N]) (reference _cut_lspc)."""
+    from productbert_intermediate_spark.functions.text import token_prefix
+
+    cases = [
+        ("a b c d e f", 3),
+        ("single", 5),
+        ("a  doublespace b", 3),  # split(' ') keeps empty tokens
+        ("", 4),
+    ]
+    for val, n in cases:
+        got = (
+            spark.createDataFrame([(val,)], "s string")
+            .select(token_prefix(F.col("s"), n).alias("o"))
+            .collect()[0]["o"]
+        )
+        want = " ".join(val.split(" ")[:n])
+        assert got == want, (val, n, got, want)
+
+
+def test_scoring_separates_gold_pairs(spark, fixtures_dir):
+    offers = extract_offers(
+        spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+    ).where("id is not null")
+    labeled = spark.read.parquet(f"{fixtures_dir}/labeled_pairs_gs.parquet")
+    pairs = labeled.select(
+        F.col("id_left").alias("id_l"), F.col("id_right").alias("id_r"), "label"
+    )
+    scored = S.score_candidates(pairs, offers, broadcast_offers=True).toPandas()
+    acc = (scored["match"].astype(int) == scored["label"]).mean()
+    assert acc >= 0.99, acc
+
+
+def test_fit_calibration_deterministic():
+    rng = np.random.RandomState(7)
+    X = pd.DataFrame(
+        rng.rand(200, len(S.FEATURES)), columns=list(S.FEATURES)
+    )
+    y = (X["jac_tokens"] + X["digit_jac"] > 1.0).astype(int)
+    w1 = S.fit_calibration(X, y)
+    w2 = S.fit_calibration(X, y)
+    assert w1 == w2
+    logit = w1["bias"] + X.to_numpy() @ np.array([w1[f] for f in S.FEATURES])
+    pred = (1 / (1 + np.exp(-logit)) > 0.5).astype(int)
+    assert (pred == y).mean() > 0.9
