@@ -1,0 +1,136 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[N].
+
+Prints ONE JSON line:
+  {"metric": "er_pairs_scored_per_sec", "value": N, "unit": "pairs/sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Headline queries run over the driver-provided testdata tables; the ER
+throughput figure (the BASELINE.md north-rule metric) is measured on the
+deterministic synthetic web-page corpus (FIXTURES.md) at bench scale.
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+scripts/scaling_bench.py → BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from productbert_intermediate_spark.session import get_spark
+
+HEADLINE = [
+    "wdc_clean_string",
+    "lineitem_agg",
+    "hydration_join",
+    "topk_per_group",
+    "exact_dedup",
+    "symmetric_pair_dedup",
+    "minhash_lsh_pairs",
+    "jaccard_dup_pairs",
+    "simhash_fingerprint",
+    "ann_cosine_matches",
+    "quality_score",
+    "er_blocking_pairs",
+    "er_entities",
+]
+
+BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+
+
+def _materialize(df) -> int:
+    """Force full computation of every column (count() would prune)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def _bench_er_throughput(spark, n_pages: int) -> tuple[float, dict[str, float]]:
+    """Candidate-pairs-scored/sec on the synthetic corpus (north-rule metric)."""
+    from pyspark.sql import functions as F
+
+    from productbert_intermediate_spark.operators import blocking as B
+    from productbert_intermediate_spark.operators import scoring as S
+    from productbert_intermediate_spark.operators.clustering import assign_entities
+    from productbert_intermediate_spark.operators.extract import extract_offers
+    from productbert_intermediate_spark.synth.generator import write_fixtures
+
+    fx = f"/tmp/spark_graft_bench_fixtures_{n_pages}"
+    if not os.path.exists(f"{fx}/pages.parquet"):
+        write_fixtures(fx, n_pages=n_pages, seed=42)
+
+    timings: dict[str, float] = {}
+    t0 = time.time()
+    offers = extract_offers(spark.read.parquet(f"{fx}/pages.parquet")).where(
+        F.col("id").isNotNull()
+    )
+    offers.cache()
+    offers.count()
+    timings["er_extract"] = time.time() - t0
+
+    t0 = time.time()
+    pairs = B.block_offers(offers)
+    pairs.cache()
+    n_pairs = pairs.count()
+    timings["er_block"] = time.time() - t0
+
+    t0 = time.time()
+    scored = S.score_candidates(pairs, offers)
+    scored.cache()
+    scored.count()
+    score_sec = time.time() - t0
+    timings["er_score"] = score_sec
+
+    t0 = time.time()
+    _materialize(assign_entities(offers, scored.where("match")))
+    timings["er_cluster"] = time.time() - t0
+
+    offers.unpersist()
+    pairs.unpersist()
+    scored.unpersist()
+    return (n_pairs / score_sec if score_sec > 0 else 0.0), timings
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus * 2, 32))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from productbert_intermediate_spark.plans.testdata_queries import REGISTRY
+
+    queries: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _ = REGISTRY[name]
+        df = fn(spark, sf_dir)
+        _materialize(df)  # warm (plan compile + shuffle files + cache parquet footers)
+        t0 = time.time()
+        _materialize(fn(spark, sf_dir))
+        queries[name] = round(time.time() - t0, 3)
+
+    throughput, er_timings = _bench_er_throughput(spark, BENCH_PAGES)
+    for k, v in er_timings.items():
+        queries[k] = round(v, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "er_pairs_scored_per_sec",
+                "value": round(throughput, 1),
+                "unit": "pairs/sec",
+                "queries": queries,
+                "sf": sf,
+                "bench_pages": BENCH_PAGES,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -15,47 +15,50 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
 # ---------------------------------------------------------------- Jaro-Winkler
 
 
 def jaro_py(s1: str, s2: str) -> float:
-    """Jaro similarity (public algorithm; Jaro 1989)."""
+    """Jaro similarity (public algorithm; Jaro 1989).
+
+    Tuned for the scoring hot path: str.find for window scans (C-speed),
+    bytearray flags, longer-string-outer iteration (symmetric semantics).
+    """
     if s1 == s2:
         return 1.0
     len1, len2 = len(s1), len(s2)
-    if len1 == 0 or len2 == 0:
+    if not len1 or not len2:
         return 0.0
-    match_window = max(len1, len2) // 2 - 1
-    if match_window < 0:
-        match_window = 0
-    flags1 = [False] * len1
-    flags2 = [False] * len2
-    matches = 0
+    if len2 > len1:
+        s1, s2, len1, len2 = s2, s1, len2, len1
+    mw = len1 // 2 - 1
+    if mw < 0:
+        mw = 0
+    flags2 = bytearray(len2)
+    matched1 = []
+    append = matched1.append
     for i, c in enumerate(s1):
-        lo = max(0, i - match_window)
-        hi = min(len2, i + match_window + 1)
-        for j in range(lo, hi):
-            if not flags2[j] and s2[j] == c:
-                flags1[i] = True
-                flags2[j] = True
-                matches += 1
+        lo = i - mw
+        if lo < 0:
+            lo = 0
+        hi = i + mw + 1
+        if hi > len2:
+            hi = len2
+        j = s2.find(c, lo, hi)
+        while j != -1:
+            if not flags2[j]:
+                flags2[j] = 1
+                append(c)
                 break
-    if matches == 0:
+            j = s2.find(c, j + 1, hi)
+    m = len(matched1)
+    if not m:
         return 0.0
-    transpositions = 0
-    k = 0
-    for i in range(len1):
-        if flags1[i]:
-            while not flags2[k]:
-                k += 1
-            if s1[i] != s2[k]:
-                transpositions += 1
-            k += 1
-    transpositions //= 2
-    m = float(matches)
-    return (m / len1 + m / len2 + (m - transpositions) / m) / 3.0
+    matched2 = [s2[j] for j in range(len2) if flags2[j]]
+    t = sum(a != b for a, b in zip(matched1, matched2)) // 2
+    return (m / len1 + m / len2 + (m - t) / m) / 3.0
 
 
 def jaro_winkler_py(s1: str | None, s2: str | None, p: float = 0.1) -> float:
@@ -129,11 +132,36 @@ def array_cosine(a: Column, b: Column) -> Column:
 
 EMBED_DIM = 256
 
+# per-executor memo: token → (index, sign) contribution vector key.
+# Tokens repeat heavily across documents; caching makes embedding cost
+# proportional to *vocabulary*, not corpus size.
+_TOKEN_MEMO: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
-def _stable_hash(token: str, salt: str) -> int:
-    """Deterministic 64-bit hash (blake2b) — stable across processes/runs."""
-    h = hashlib.blake2b(f"{salt}\x00{token}".encode("utf-8"), digest_size=8)
-    return int.from_bytes(h.digest(), "little")
+
+def _stable_hash(data: bytes) -> int:
+    """Deterministic 32-bit hash — stable across processes/runs (crc32)."""
+    import zlib
+
+    return zlib.crc32(data) & 0xFFFFFFFF
+
+
+def _token_contrib(tok: str, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """(indices, signs) of the token's word + char-3gram features."""
+    cached = _TOKEN_MEMO.get(tok)
+    if cached is not None:
+        return cached
+    feats = [tok]
+    padded = f"^{tok}$"
+    feats.extend(padded[i : i + 3] for i in range(len(padded) - 2))
+    idx = np.empty(len(feats), dtype=np.int64)
+    sgn = np.empty(len(feats), dtype=np.float64)
+    for j, ft in enumerate(feats):
+        h = _stable_hash(ft.encode("utf-8"))
+        idx[j] = h % dim
+        sgn[j] = 1.0 if h & 0x80000000 else -1.0
+    if len(_TOKEN_MEMO) < 2_000_000:  # bound executor memory
+        _TOKEN_MEMO[tok] = (idx, sgn)
+    return idx, sgn
 
 
 def embed_texts(texts: list[str | None], dim: int = EMBED_DIM) -> np.ndarray:
@@ -143,23 +171,32 @@ def embed_texts(texts: list[str | None], dim: int = EMBED_DIM) -> np.ndarray:
     a unit-normalized bag-of-features projection. The cosine of two such
     embeddings is a high-recall textual-similarity signal; the production
     scorer combines it with string features and a calibrated threshold.
+    Embeddings are unit vectors, so pair cosine reduces to a dot product.
+
+    Vectorized: per-token (indices, signs) come from a memo keyed on the
+    token (vocabulary-sized), and the whole batch scatters into one
+    np.bincount — no per-row numpy calls.
     """
-    out = np.zeros((len(texts), dim), dtype=np.float64)
+    n = len(texts)
+    flat_idx: list[np.ndarray] = []
+    flat_sgn: list[np.ndarray] = []
     for row, text in enumerate(texts):
         if not text:
             continue
-        feats: list[str] = text.split()
-        for tok in list(feats):
-            padded = f"^{tok}$"
-            feats.extend(padded[i : i + 3] for i in range(len(padded) - 2))
-        for ft in feats:
-            h = _stable_hash(ft, "emb")
-            idx = h % dim
-            sign = 1.0 if (h >> 63) & 1 else -1.0
-            out[row, idx] += sign
-        norm = np.linalg.norm(out[row])
-        if norm > 0:
-            out[row] /= norm
+        base = row * dim
+        for tok in text.split():
+            idx, sgn = _token_contrib(tok, dim)
+            flat_idx.append(idx + base)
+            flat_sgn.append(sgn)
+    if not flat_idx:
+        return np.zeros((n, dim), dtype=np.float64)
+    out = np.bincount(
+        np.concatenate(flat_idx),
+        weights=np.concatenate(flat_sgn),
+        minlength=n * dim,
+    ).reshape(n, dim)
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    np.divide(out, norms, out=out, where=norms > 0)
     return out
 
 
@@ -173,3 +210,128 @@ def embedding_cosine_batch(left: pd.Series, right: pd.Series) -> pd.Series:
 @pandas_udf(DoubleType())
 def embedding_cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover
     return embedding_cosine_batch(a, b)
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def embed_text_udf(s: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
+    """Per-row unit embedding (array<double>)."""
+    mat = embed_texts(s.tolist())
+    return pd.Series(list(mat))
+
+
+# per-executor text→unit-vector memo. Offers recur across ~dozens of
+# candidate pairs, so embedding cost collapses to O(distinct texts).
+_TEXT_MEMO: dict[str, np.ndarray] = {}
+
+
+def _embed_memo(texts: list[str | None], dim: int = EMBED_DIM) -> np.ndarray:
+    out = np.empty((len(texts), dim), dtype=np.float64)
+    missing: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        key = t or ""
+        vec = _TEXT_MEMO.get(key)
+        if vec is not None:
+            out[i] = vec
+        else:
+            missing.setdefault(key, []).append(i)
+    if missing:
+        keys = list(missing)
+        fresh = embed_texts(keys, dim)
+        for k, vec in zip(keys, fresh):
+            if len(_TEXT_MEMO) < 500_000:  # bound executor memory (~1GB max)
+                _TEXT_MEMO[k] = vec
+            for i in missing[k]:
+                out[i] = vec
+    return out
+
+
+_PAIR_SCORE_SCHEMA = StructType(
+    [
+        StructField("emb_cos", DoubleType()),
+        StructField("jw", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_PAIR_SCORE_SCHEMA)
+def pair_text_scores_udf(
+    btext_l: pd.Series,
+    btext_r: pd.Series,
+    tlen_l: pd.Series,
+    tlen_r: pd.Series,
+) -> pd.DataFrame:  # pragma: no cover - via Spark
+    """The pipeline's single per-pair Python crossing: memoized embedding
+    cosine + Jaro-Winkler, one Arrow round-trip.
+
+    The title is the first ``tlen`` characters of the blocking text
+    (blocking text = lower(title) + ' ' + desc5), so only two strings plus
+    two ints cross the Arrow boundary — string serialization is the stage's
+    floor cost.
+    """
+    bl = btext_l.tolist()
+    br = btext_r.tolist()
+    lv = _embed_memo(bl)
+    rv = _embed_memo(br)
+    cos = np.einsum("ij,ij->i", lv, rv)
+    ll = tlen_l.tolist()
+    lr = tlen_r.tolist()
+    jw = [
+        jaro_winkler_py(a[:n1] if a else "", b[:n2] if b else "")
+        for a, b, n1, n2 in zip(bl, br, ll, lr)
+    ]
+    return pd.DataFrame({"emb_cos": cos, "jw": np.asarray(jw, dtype=np.float64)})
+
+
+def build_offer_text_index(
+    ids: np.ndarray, btexts: list, title_lens: np.ndarray, dim: int = EMBED_DIM
+) -> dict:
+    """Precompute the broadcastable scoring index for the id-keyed scorer:
+
+    sorted id array (for np.searchsorted), a float32 embedding matrix, the
+    blocking texts and title lengths aligned to it. Built once per scoring
+    run (analogous to the reference loading its frozen matcher weights,
+    base_trainer.py:158-191) — NOT per pair, NOT per batch.
+    """
+    order = np.argsort(ids)
+    sorted_ids = np.asarray(ids)[order]
+    texts = [btexts[i] or "" for i in order]
+    lens = np.asarray(title_lens)[order].astype(np.int32)
+    emb = embed_texts(texts, dim).astype(np.float32)
+    return {
+        "ids": sorted_ids,
+        "emb": emb,
+        "texts": texts,
+        "tlens": lens,
+    }
+
+
+def make_id_pair_scores_udf(index_broadcast):
+    """Pair scorer keyed by offer id: only two int64 columns cross Arrow.
+
+    index_broadcast: Spark broadcast of build_offer_text_index output.
+    Embedding cosine is a fully-vectorized gather (searchsorted + float32
+    matrix rows + einsum); Jaro-Winkler is the only per-pair Python. This is
+    the small-corpus fast path — JVM string serialization otherwise feeds
+    the Python workers at ~50% duty cycle.
+    """
+
+    @pandas_udf(_PAIR_SCORE_SCHEMA)
+    def id_pair_scores(id_l: pd.Series, id_r: pd.Series) -> pd.DataFrame:  # pragma: no cover
+        idx = index_broadcast.value
+        ids = idx["ids"]
+        emb = idx["emb"]
+        texts = idx["texts"]
+        tlens = idx["tlens"]
+        li = np.searchsorted(ids, id_l.to_numpy())
+        ri = np.searchsorted(ids, id_r.to_numpy())
+        cos = np.einsum("ij,ij->i", emb[li], emb[ri], dtype=np.float64)
+        jw = np.empty(len(li), dtype=np.float64)
+        for k in range(len(li)):
+            a = li[k]
+            b = ri[k]
+            jw[k] = jaro_winkler_py(
+                texts[a][: tlens[a]], texts[b][: tlens[b]]
+            )
+        return pd.DataFrame({"emb_cos": cos, "jw": jw})
+
+    return id_pair_scores

@@ -59,33 +59,62 @@ FEATURES = (
 # scripts/calibrate.py (train accuracy 1.0000 on 1000 gold pairs); refit when
 # the corpus or feature set changes.
 DEFAULT_WEIGHTS: dict[str, float] = {
-    "bias": -5.289333,
-    "emb_cos": 2.974409,
-    "jw_title": -2.574342,
-    "lev_title": 0.158940,
-    "jac_tokens": 3.217069,
-    "digit_jac": 8.483275,
-    "brand_match": 0.728343,
-    "price_sim": -0.909595,
+    "bias": -5.274684,
+    "emb_cos": 3.223317,
+    "jw_title": -2.588305,
+    "lev_title": 0.136982,
+    "jac_tokens": 3.140547,
+    "digit_jac": 8.362032,
+    "brand_match": 0.655505,
+    "price_sim": -0.914059,
 }
 
 
-def hydrate_pairs(
-    pairs: DataFrame, offers: DataFrame, broadcast_offers: bool = False
-) -> DataFrame:
-    """(id_l, id_r) → + {attr}_left/{attr}_right columns (J1, two equi-joins)."""
-    side = offers.select(
-        "id", *[F.col(a).alias(a) for a in PAIR_ATTRS]
+def prepare_offers_for_scoring(offers: DataFrame) -> DataFrame:
+    """Precompute per-offer scoring inputs ONCE (not once per pair):
+
+    * ``_btext``  — blocking text (title + first-5 desc tokens, lowered)
+    * ``_toks`` / ``_dtoks`` — token set and digit-bearing token set
+
+    Embeddings are deliberately NOT materialized as a column: a 2KB vector
+    per offer turns every downstream join/shuffle into a bandwidth problem
+    and (if broadcast) a serial driver bottleneck. The embedding is instead
+    recomputed from ``_btext`` inside the pair-scoring UDF behind a
+    per-executor text→vector memo, so the Python cost stays O(distinct
+    offers) while only ~100-byte strings flow through the shuffles.
+    """
+    title = F.coalesce(F.col("title"), F.lit(""))
+    desc5 = token_prefix(F.coalesce(F.col("description"), F.lit("")), 5)
+    btext = F.lower(F.concat_ws(" ", title, desc5))
+    out = offers.withColumn("_btext", btext)
+    out = out.withColumn("_toks", token_set(F.col("_btext")))
+    return out.withColumn(
+        "_dtoks", F.filter("_toks", lambda t: t.rlike(r"\d"))
     )
+
+
+def hydrate_pairs(
+    pairs: DataFrame,
+    offers: DataFrame,
+    broadcast_offers: bool = False,
+    prepared: bool = False,
+) -> DataFrame:
+    """(id_l, id_r) → + {attr}_left/{attr}_right columns (J1, two equi-joins).
+
+    prepared=True also carries the per-offer scoring columns from
+    prepare_offers_for_scoring through both joins.
+    """
+    extra = ("_btext", "_toks", "_dtoks") if prepared else ()
+    side = offers.select("id", *PAIR_ATTRS, *extra)
     if broadcast_offers:
         side = F.broadcast(side)
     left = side.select(
         F.col("id").alias("id_l"),
-        *[F.col(a).alias(f"{a}_left") for a in PAIR_ATTRS],
+        *[F.col(a).alias(f"{a}_left") for a in (*PAIR_ATTRS, *extra)],
     )
     right = side.select(
         F.col("id").alias("id_r"),
-        *[F.col(a).alias(f"{a}_right") for a in PAIR_ATTRS],
+        *[F.col(a).alias(f"{a}_right") for a in (*PAIR_ATTRS, *extra)],
     )
     return pairs.join(left, "id_l").join(right, "id_r")
 
@@ -111,10 +140,29 @@ def blocking_text(side: str, desc_tokens: int = 5):
 
 
 def pair_features(hydrated: DataFrame) -> DataFrame:
-    """Add the FEATURES columns to a hydrated pair table."""
-    df = hydrated.withColumn("_seq_l", blocking_text("left")).withColumn(
-        "_seq_r", blocking_text("right")
-    )
+    """Add the FEATURES columns to a hydrated pair table.
+
+    Accepts either a plain hydrated table (attrs only — per-offer inputs are
+    derived in-plan) or one hydrated with prepared=True (per-offer embedding
+    and token sets carried through the join; the fast path).
+    """
+    prepared = "_btext_left" in hydrated.columns
+    if prepared:
+        df = hydrated
+        seq_l, seq_r = F.col("_btext_left"), F.col("_btext_right")
+        toks_l, toks_r = F.col("_toks_left"), F.col("_toks_right")
+        dtoks_l, dtoks_r = F.col("_dtoks_left"), F.col("_dtoks_right")
+        emb_cos = embedding_cosine_udf(seq_l, seq_r)
+    else:
+        df = hydrated.withColumn("_seq_l", blocking_text("left")).withColumn(
+            "_seq_r", blocking_text("right")
+        )
+        seq_l, seq_r = F.col("_seq_l"), F.col("_seq_r")
+        toks_l, toks_r = token_set(seq_l), token_set(seq_r)
+        dtoks_l = F.filter(token_set(seq_l), lambda t: t.rlike(r"\d"))
+        dtoks_r = F.filter(token_set(seq_r), lambda t: t.rlike(r"\d"))
+        emb_cos = embedding_cosine_udf(seq_l, seq_r)
+
     title_l = F.coalesce(F.col("title_left"), F.lit(""))
     title_r = F.coalesce(F.col("title_right"), F.lit(""))
     price_l = F.regexp_replace(F.coalesce(F.col("price_left"), F.lit("")), "[^0-9.]", "")
@@ -122,31 +170,18 @@ def pair_features(hydrated: DataFrame) -> DataFrame:
     pl = F.when(price_l.rlike(r"^[0-9]+(\.[0-9]+)?$"), price_l.cast("double"))
     pr = F.when(price_r.rlike(r"^[0-9]+(\.[0-9]+)?$"), price_r.cast("double"))
     df = (
-        df.withColumn("emb_cos", embedding_cosine_udf("_seq_l", "_seq_r"))
+        df.withColumn("emb_cos", emb_cos)
         .withColumn("jw_title", jaro_winkler_udf(F.lower(title_l), F.lower(title_r)))
         .withColumn("lev_title", levenshtein_norm(F.lower(title_l), F.lower(title_r)))
-        .withColumn("jac_tokens", token_jaccard(token_set(F.col("_seq_l")), token_set(F.col("_seq_r"))))
+        .withColumn("jac_tokens", token_jaccard(toks_l, toks_r))
         .withColumn(
             # jaccard over digit-bearing tokens: product codes / MPNs are the
             # highest-precision match signal in product ER (the reference's
             # corpus carries them inside titles; matching papers key on them)
             "digit_jac",
             F.when(
-                (
-                    F.size(F.filter(token_set(F.col("_seq_l")), lambda t: t.rlike(r"\d")))
-                    == 0
-                )
-                & (
-                    F.size(F.filter(token_set(F.col("_seq_r")), lambda t: t.rlike(r"\d")))
-                    == 0
-                ),
-                0.5,
-            ).otherwise(
-                token_jaccard(
-                    F.filter(token_set(F.col("_seq_l")), lambda t: t.rlike(r"\d")),
-                    F.filter(token_set(F.col("_seq_r")), lambda t: t.rlike(r"\d")),
-                )
-            ),
+                (F.size(dtoks_l) == 0) & (F.size(dtoks_r) == 0), 0.5
+            ).otherwise(token_jaccard(dtoks_l, dtoks_r)),
         )
         .withColumn(
             "brand_match",
@@ -163,7 +198,9 @@ def pair_features(hydrated: DataFrame) -> DataFrame:
             ),
         )
     )
-    return df.drop("_seq_l", "_seq_r")
+    drop_cols = [c for c in ("_seq_l", "_seq_r") if c in df.columns]
+    drop_cols += [c for c in df.columns if c.startswith(("_btext", "_emb", "_toks", "_dtoks"))]
+    return df.drop(*drop_cols)
 
 
 def score_pairs(
@@ -182,16 +219,133 @@ def score_pairs(
     return df.withColumn("match", (F.col("score") > 0.5))
 
 
+# Above this many offers, the per-executor text index is no longer
+# broadcastable and pair texts ship through the Arrow channel instead.
+TEXT_BROADCAST_MAX_OFFERS = 5_000_000
+
+
+def build_text_index_broadcast(offers: DataFrame):
+    """Collect the per-offer scoring index (ids, float32 embeddings, texts,
+    title lengths) and broadcast it. One-time setup per scoring run — the
+    analog of loading the frozen matcher before the eval loop."""
+    from ..functions.similarity import build_offer_text_index
+
+    prepped = prepare_offers_for_scoring(offers)
+    pdf = prepped.select(
+        "id",
+        "_btext",
+        F.length(F.lower(F.coalesce("title", F.lit("")))).alias("_tl"),
+    ).toPandas()
+    index = build_offer_text_index(
+        pdf["id"].to_numpy(),
+        pdf["_btext"].tolist(),
+        pdf["_tl"].fillna(0).to_numpy(),
+    )
+    return offers.sparkSession.sparkContext.broadcast(index)
+
+
 def score_candidates(
     pairs: DataFrame,
     offers: DataFrame,
     weights: dict[str, float] | None = None,
     broadcast_offers: bool = False,
+    feature_partitions: int | None = None,
+    use_text_broadcast: bool | None = None,
+    text_index_broadcast=None,
 ) -> DataFrame:
-    """Full scoring stage: hydrate → features → calibrated score."""
-    return score_pairs(
-        pair_features(hydrate_pairs(pairs, offers, broadcast_offers)), weights
+    """Full scoring stage, shuffle- and Python-lean:
+
+    1. per-offer inputs once (blocking text + token sets, all JVM);
+    2. hydration joins; every JVM feature (levenshtein, token/digit jaccard,
+       brand, price) is computed IN the join output projection;
+    3. project down to ids + features and repartition explicitly — AQE would
+       coalesce this CPU-bound stage to one task by byte size; a user
+       repartition pins the parallelism;
+    4. ONE pandas UDF computes embedding-cosine + Jaro-Winkler per pair.
+       Two text-delivery strategies:
+         * broadcast (default when |offers| ≤ TEXT_BROADCAST_MAX_OFFERS):
+           an id→(text, title_len) dict is broadcast once and only TWO LONG
+           IDS cross the Arrow boundary per pair — measured ~2.5× faster at
+           local[32] because JVM-side string serialization otherwise starves
+           the Python workers;
+         * streamed (the 10^12-doc path): pair texts flow through Arrow.
+    5. calibrated logistic score, 0.5 threshold.
+
+    Output: (id_l, id_r, *FEATURES, logit, score, match) — narrow by design;
+    downstream stages (clustering, metrics) never need the attribute text.
+    """
+    spark = pairs.sparkSession
+    n_parts = feature_partitions or spark.sparkContext.defaultParallelism * 2
+    # pin parallelism at the SOURCE: the candidate table usually arrives
+    # AQE-coalesced to few partitions, which would serialize the hydrate map
+    # side and everything fused after it.
+    pairs = pairs.repartition(n_parts, "id_l")
+    if use_text_broadcast is None and text_index_broadcast is None:
+        use_text_broadcast = offers.count() <= TEXT_BROADCAST_MAX_OFFERS
+    small_offers = text_index_broadcast is not None or bool(use_text_broadcast)
+    prepped = prepare_offers_for_scoring(offers)
+    hydrated = hydrate_pairs(
+        pairs, prepped, broadcast_offers or small_offers, prepared=True
     )
+
+    title_l = F.lower(F.coalesce(F.col("title_left"), F.lit("")))
+    title_r = F.lower(F.coalesce(F.col("title_right"), F.lit("")))
+    price_l = F.regexp_replace(F.coalesce(F.col("price_left"), F.lit("")), "[^0-9.]", "")
+    price_r = F.regexp_replace(F.coalesce(F.col("price_right"), F.lit("")), "[^0-9.]", "")
+    pl = F.when(price_l.rlike(r"^[0-9]+(\.[0-9]+)?$"), price_l.cast("double"))
+    pr = F.when(price_r.rlike(r"^[0-9]+(\.[0-9]+)?$"), price_r.cast("double"))
+    passthrough = [c for c in pairs.columns if c not in ("id_l", "id_r")]
+    narrow = hydrated.select(
+        "id_l",
+        "id_r",
+        *passthrough,
+        levenshtein_norm(title_l, title_r).alias("lev_title"),
+        token_jaccard(F.col("_toks_left"), F.col("_toks_right")).alias("jac_tokens"),
+        F.when(
+            (F.size("_dtoks_left") == 0) & (F.size("_dtoks_right") == 0), 0.5
+        )
+        .otherwise(token_jaccard(F.col("_dtoks_left"), F.col("_dtoks_right")))
+        .alias("digit_jac"),
+        F.when(
+            F.col("brand_left").isNull() | F.col("brand_right").isNull(), 0.5
+        )
+        .otherwise((F.lower("brand_left") == F.lower("brand_right")).cast("double"))
+        .alias("brand_match"),
+        F.when(pl.isNull() | pr.isNull(), 0.5)
+        .otherwise(
+            1.0 - F.least(F.lit(1.0), F.abs(pl - pr) / F.greatest(pl, pr, F.lit(1e-9)))
+        )
+        .alias("price_sim"),
+        F.length(title_l).alias("_tl_l"),
+        F.length(title_r).alias("_tl_r"),
+        F.col("_btext_left").alias("_b_l"),
+        F.col("_btext_right").alias("_b_r"),
+    )
+
+    if small_offers:
+        from ..functions.similarity import make_id_pair_scores_udf
+
+        if text_index_broadcast is None:
+            text_index_broadcast = build_text_index_broadcast(offers)
+        udf = make_id_pair_scores_udf(text_index_broadcast)
+        # pairs are already hash-distributed on id_l across n_parts and the
+        # broadcast join preserves partitioning — no second exchange needed.
+        narrow = narrow.drop("_b_l", "_b_r", "_tl_l", "_tl_r")
+        scored = narrow.withColumn("_ps", udf("id_l", "id_r"))
+    else:
+        from ..functions.similarity import pair_text_scores_udf
+
+        narrow = narrow.repartition(n_parts, "id_l", "id_r")
+        scored = narrow.withColumn(
+            "_ps", pair_text_scores_udf("_b_l", "_b_r", "_tl_l", "_tl_r")
+        ).drop("_tl_l", "_tl_r", "_b_l", "_b_r")
+
+    scored = (
+        scored.withColumn("emb_cos", F.col("_ps.emb_cos"))
+        .withColumn("jw_title", F.col("_ps.jw"))
+        .drop("_ps")
+    )
+    return score_pairs(scored, weights)
 
 
 # --------------------------------------------------------------- calibration

@@ -1,0 +1,82 @@
+"""Word-coocurrence featurizer (SURVEY.md §2.7 M3) + vocabulary build (A9).
+
+The reference builds a binary CountVectorizer(min_df=2) vocabulary over the
+union of left/right pair strings and multiplies the binary vectors
+elementwise (/root/reference/src/processing/process-wordcooc/
+process-to-wordcooc.py:52-93). For binary vectors the elementwise product
+is exactly the intersection of the vocabulary-filtered token sets, so the
+distributed form needs no vectors at all:
+
+  vocabulary   = tokens with document frequency ≥ min_df (binary, union side)
+  cooc feature = |vocab ∩ tokens_left ∩ tokens_right|
+
+Everything is JVM-side (explode → df agg → semi-join → array_intersect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+
+def build_vocabulary(
+    strings: DataFrame, text_col: str = "text", min_df: int = 2
+) -> DataFrame:
+    """Distinct tokens with df ≥ min_df over the input strings → (token, df).
+
+    Spark analog of CountVectorizer(min_df=2, binary=True).fit
+    (process-to-wordcooc.py:52-65): binary df = number of rows whose token
+    SET contains the token.
+    """
+    toks = strings.select(
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+    )
+
+
+def wordcooc_features(
+    pairs: DataFrame,
+    left_col: str = "text_left",
+    right_col: str = "text_right",
+    vocabulary: DataFrame | None = None,
+    min_df: int = 2,
+) -> DataFrame:
+    """Add ``cooc_count`` = |vocab-filtered tokens_left ∩ tokens_right|.
+
+    vocabulary=None builds it from the union of both sides (reference
+    behavior: fit on train-pair left+right strings, :58).
+    """
+    if vocabulary is None:
+        union = pairs.select(F.col(left_col).alias("text")).unionAll(
+            pairs.select(F.col(right_col).alias("text"))
+        )
+        vocabulary = build_vocabulary(union, "text", min_df)
+    vocab_arr = F.broadcast(
+        vocabulary.select(F.collect_set("token").alias("vocab")).limit(1)
+    )
+    out = pairs.crossJoin(vocab_arr)
+    inter = F.array_intersect(
+        F.array_intersect(
+            F.array_distinct(tokenize(F.col(left_col))),
+            F.array_distinct(tokenize(F.col(right_col))),
+        ),
+        F.col("vocab"),
+    )
+    return out.withColumn("cooc_count", F.size(inter)).drop("vocab")
+
+
+def class_ratio(labeled: DataFrame, label_col: str = "label") -> float:
+    """pos_neg ratio = round(neg/pos) — the reference's BCE pos_weight source
+    (run_magellan.py:174-175; consumed as pos_neg_ratio, loss.py:8-9)."""
+    counts = dict(
+        labeled.groupBy(label_col).count().collect()
+    )
+    pos = int(counts.get(1, 0))
+    neg = int(counts.get(0, 0))
+    return round(neg / pos) if pos else float("inf")

@@ -865,6 +865,157 @@ from keyed a join keyed b
 
 
 # --------------------------------------------------------------------------
+# A9 — vocabulary build (binary CountVectorizer(min_df) semantics)
+
+
+def q_vocab_min_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.wordcooc import build_vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    return build_vocabulary(docs.select("text"), min_df=100)
+
+
+SQL_VOCAB_MIN_DF = """
+with tok as (
+  select doc_id, unnest(list_distinct(string_split(text, ' '))) as token
+  from documents
+)
+select token, count(*) as df from tok group by token having count(*) >= 100
+"""
+
+
+# --------------------------------------------------------------------------
+# M3 — word-cooccurrence feature (binary vector product == token intersect)
+
+
+def q_wordcooc_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.wordcooc import wordcooc_features
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("side", (F.col("rn") % 2 == 1).cast("int"))
+        .withColumn("pair_no", ((F.col("rn") - 1) / 2).cast("long"))
+    )
+    left = paired.where("side = 1").select(
+        "source", "pair_no", F.col("doc_id").alias("doc_left"),
+        F.col("text").alias("text_left"),
+    )
+    right = paired.where("side = 0").select(
+        "source", "pair_no", F.col("doc_id").alias("doc_right"),
+        F.col("text").alias("text_right"),
+    )
+    pairs = left.join(right, ["source", "pair_no"])
+    return wordcooc_features(pairs, min_df=2).select(
+        "doc_left", "doc_right", "cooc_count"
+    )
+
+
+SQL_WORDCOOC_FEATURE = """
+with numbered as (
+  select doc_id, source, text,
+         row_number() over (partition by source order by doc_id) as rn
+  from documents
+), pairs as (
+  select l.doc_id as doc_left, r.doc_id as doc_right,
+         l.text as text_left, r.text as text_right
+  from numbered l join numbered r
+    on l.source = r.source and l.rn % 2 = 1 and r.rn = l.rn + 1
+), vocab as (
+  select token from (
+    select unnest(list_distinct(string_split(text, ' '))) as token
+    from (select text_left as text from pairs
+          union all select text_right from pairs)
+  ) group by token having count(*) >= 2
+), inter as (
+  select doc_left, doc_right,
+         unnest(list_intersect(list_distinct(string_split(text_left, ' ')),
+                               list_distinct(string_split(text_right, ' ')))) as token
+  from pairs
+), counted as (
+  select doc_left, doc_right, count(*) as cooc_count
+  from inter join vocab using (token)
+  group by doc_left, doc_right
+)
+select p.doc_left, p.doc_right, coalesce(c.cooc_count, 0) as cooc_count
+from pairs p left join counted c using (doc_left, doc_right)
+"""
+
+
+# --------------------------------------------------------------------------
+# A2 — class-ratio aggregation (pos_neg loss weight source)
+
+
+def q_class_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    lab = emb.select((F.col("label") == 0).cast("int").alias("label"))
+    return lab.groupBy("label").agg(F.count("*").alias("n"))
+
+
+SQL_CLASS_RATIO = """
+select case when label = 0 then 1 else 0 end as label, count(*) as n
+from embeddings group by 1
+"""
+
+
+# --------------------------------------------------------------------------
+# W3 — hard/random split of per-group rankings (reference pair sampling shape)
+
+
+def q_hard_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per customer: rank orders by price; 'hard' = top half (ceil), 'random'
+    = seeded-md5 pick from the rest — the reference's hard/random pair-split
+    arithmetic (sample_intermediate_training_sets.py:63-90)."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    cnt = Window.partitionBy("o_custkey")
+    df = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(cnt))
+        .withColumn("n_hard", ((F.col("n") + 1) / 2).cast("long"))
+    )
+    hard = df.where(F.col("rn") <= F.col("n_hard")).select(
+        "o_custkey", "o_orderkey", F.lit("hard").alias("bucket")
+    )
+    rest = df.where(F.col("rn") > F.col("n_hard"))
+    wr = Window.partitionBy("o_custkey").orderBy(
+        _md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":w3")))
+    )
+    rand_pick = rest.withColumn("rr", F.row_number().over(wr)).where(
+        F.col("rr") == 1
+    ).select("o_custkey", "o_orderkey", F.lit("random").alias("bucket"))
+    return hard.unionByName(rand_pick)
+
+
+SQL_HARD_RANDOM_SPLIT = """
+with ranked as (
+  select o_custkey, o_orderkey, o_totalprice,
+         row_number() over (partition by o_custkey
+                            order by o_totalprice desc, o_orderkey asc) as rn,
+         count(*) over (partition by o_custkey) as n
+  from orders
+), with_h as (
+  select *, cast((n + 1) // 2 as bigint) as n_hard from ranked
+)
+select o_custkey, o_orderkey, 'hard' as bucket from with_h where rn <= n_hard
+union all
+select o_custkey, o_orderkey, 'random' as bucket from (
+  select o_custkey, o_orderkey,
+         row_number() over (partition by o_custkey
+                            order by md5(cast(o_orderkey as varchar) || ':w3')) as rr
+  from with_h where rn > n_hard
+) where rr = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Spark-private operators (no SQL oracle — driver records rows-only checks)
 
 
@@ -960,6 +1111,10 @@ REGISTRY: dict[str, tuple] = {
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "vocab_min_df": (q_vocab_min_df, SQL_VOCAB_MIN_DF),
+    "wordcooc_feature": (q_wordcooc_feature, SQL_WORDCOOC_FEATURE),
+    "class_ratio": (q_class_ratio, SQL_CLASS_RATIO),
+    "hard_random_split": (q_hard_random_split, SQL_HARD_RANDOM_SPLIT),
     # ER pipeline over documents-as-corpus
     "er_blocking_pairs": (q_er_blocking_pairs, SQL_ER_BLOCKING_PAIRS),
     # Spark-private (no SQL equivalent → rows-only driver check)

@@ -1,0 +1,97 @@
+"""One scaling-bench trial: run the ER scoring job at a fixed parallelism.
+
+Invoked by scripts/scaling_bench.py in a fresh process per parallelism level
+(a JVM's master can't change after startup). Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    fx = sys.argv[2]
+    out_check = sys.argv[3] if len(sys.argv) > 3 else None
+
+    from pyspark.sql import functions as F
+
+    from productbert_intermediate_spark.operators import blocking as B
+    from productbert_intermediate_spark.operators import scoring as S
+    from productbert_intermediate_spark.operators.clustering import assign_entities
+    from productbert_intermediate_spark.operators.extract import extract_offers
+    from productbert_intermediate_spark.session import get_spark
+
+    spark = get_spark(
+        f"scaling-{cores}", cores=cores, shuffle_partitions=max(cores * 2, 16)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    offers = extract_offers(spark.read.parquet(f"{fx}/pages.parquet")).where(
+        F.col("id").isNotNull()
+    )
+    offers.cache()
+    offers.count()
+
+    pairs = B.block_offers(offers)
+    pairs.cache()
+    n_pairs = pairs.count()
+
+    # one-time setup: the broadcast scoring index (the analog of loading the
+    # frozen matcher weights before an eval loop) — excluded from throughput.
+    text_index = S.build_text_index_broadcast(offers)
+
+    def run_score():
+        return S.score_candidates(
+            pairs, offers, text_index_broadcast=text_index
+        )
+
+    # warm-up (codegen compile, python workers, shuffle service) then
+    # best-of-2 measurement — throughput, not cold-start, is the metric.
+    run_score().write.format("noop").mode("overwrite").save()
+    score_sec = None
+    for _ in range(2):
+        t0 = time.time()
+        run_score().write.format("noop").mode("overwrite").save()
+        d = time.time() - t0
+        score_sec = d if score_sec is None else min(score_sec, d)
+
+    scored = run_score()
+    scored.cache()
+    scored.count()
+
+    t0 = time.time()
+    entities = assign_entities(offers, scored.where("match"))
+    entities.cache()
+    n_entities = entities.select("entity_id").distinct().count()
+    cluster_sec = time.time() - t0
+
+    # output-equality evidence across parallelism levels
+    checksum = entities.agg(
+        F.coalesce(F.bit_xor(F.xxhash64("id", "entity_id")), F.lit(0))
+    ).collect()[0][0]
+
+    result = {
+        "cores": cores,
+        "n_pairs": n_pairs,
+        "score_sec": round(score_sec, 3),
+        "cluster_sec": round(cluster_sec, 3),
+        "pairs_per_sec": round(n_pairs / score_sec, 1) if score_sec else 0,
+        "n_entities": n_entities,
+        "entities_checksum": int(checksum),
+    }
+    line = json.dumps(result)
+    print(line)
+    if out_check:
+        with open(out_check, "w") as f:
+            f.write(line)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,67 @@
+"""Driver-contract parity: every oracle query hash-matches DuckDB at sf0.001."""
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+
+from productbert_intermediate_spark.plans.testdata_queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.6g}"
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def _hash(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"create view {t} as select * from '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+ORACLE_QUERIES = sorted(name for name, (_f, sql) in REGISTRY.items() if sql)
+ROWS_ONLY = sorted(name for name, (_f, sql) in REGISTRY.items() if not sql)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_duckdb_oracle(spark, con, name):
+    fn, sql = REGISTRY[name]
+    sdf = fn(spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(sql)
+    orows = res.fetchall()
+    ocols = [d[0] for d in res.description]
+    assert sorted(sdf.columns) == sorted(ocols)
+    assert len(srows) == len(orows)
+    assert _hash(srows, sdf.columns) == _hash(orows, ocols)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0

@@ -1,0 +1,136 @@
+"""Training-data pipeline operators: ANN, multimodal plumbing, word-cooc."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from productbert_intermediate_spark.operators.ann import brute_force_topk, lsh_topk
+from productbert_intermediate_spark.operators.multimodal import (
+    decode_image_stub,
+    extract_image_features,
+    frame_sample_plan,
+)
+from productbert_intermediate_spark.operators.wordcooc import (
+    build_vocabulary,
+    class_ratio,
+    wordcooc_features,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+def _queries(emb, n=5):
+    return (
+        emb.where(F.col("vec_id") < n)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+    )
+
+
+def test_brute_force_topk_matches_numpy_oracle(spark, emb):
+    k = 10
+    got = brute_force_topk(emb, _queries(emb), k=k).toPandas()
+    pdf = emb.toPandas()
+    mat = np.vstack(pdf["embedding"].to_numpy())
+    ids = pdf["vec_id"].to_numpy()
+    norms = np.linalg.norm(mat, axis=1)
+    for qid in range(5):
+        qvec = mat[ids == qid][0]
+        cos = mat @ qvec / (norms * np.linalg.norm(qvec))
+        order = sorted(zip(-cos, ids))[:k]
+        want = [int(i) for _, i in order]
+        g = got[got["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert g == want, qid
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark, emb):
+    k = 10
+    exact = brute_force_topk(emb, _queries(emb), k=k).toPandas()
+    approx = lsh_topk(emb, _queries(emb), k=k, dim=64, n_bits=8).toPandas()
+    recalls = []
+    for qid in range(5):
+        want = set(exact[exact["query_id"] == qid]["vec_id"])
+        have = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(want & have) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_lsh_topk_deterministic(spark, emb):
+    a = sorted(map(tuple, lsh_topk(emb, _queries(emb), k=5).collect()))
+    b = sorted(map(tuple, lsh_topk(emb, _queries(emb), k=5).collect()))
+    assert a == b
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"abc")
+
+
+def test_extract_image_features_plumbing(spark):
+    rows = [(i, bytes([i % 251]) * (100 + i)) for i in range(50)]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = extract_image_features(media, batch_partitions=4).toPandas()
+    assert len(out) == 50
+    assert set(out.columns) == {
+        "media_id", "n_bytes", "width", "height", "channel_means", "digest",
+    }
+    assert (out["n_bytes"] == out["media_id"] + 100).all()
+    assert out["width"].between(64, 255).all()
+    assert out["channel_means"].map(len).eq(3).all()
+    # determinism
+    out2 = extract_image_features(media, batch_partitions=4).toPandas()
+    assert out.sort_values("media_id").reset_index(drop=True).equals(
+        out2.sort_values("media_id").reset_index(drop=True)
+    )
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame(
+        [(1, b"x" * 5000), (2, b"y" * 100)], "media_id long, payload binary"
+    )
+    got = frame_sample_plan(media, every_n=2).toPandas()
+    f1 = got[got["media_id"] == 1]["frame_index"].tolist()
+    assert f1 == [0, 2, 4]  # 5000 bytes → 5 frames (0..4), step 2
+    f2 = got[got["media_id"] == 2]["frame_index"].tolist()
+    assert f2 == [0]
+
+
+def test_vocabulary_and_wordcooc(spark):
+    pairs = spark.createDataFrame(
+        [
+            ("red fast car", "red slow car"),
+            ("green bike", "green bike fast"),
+            ("one-off text", "totally different"),
+        ],
+        "text_left string, text_right string",
+    )
+    vocab = build_vocabulary(
+        pairs.select(F.col("text_left").alias("text")).unionAll(
+            pairs.select(F.col("text_right").alias("text"))
+        ),
+        min_df=2,
+    )
+    vocab_set = {r["token"] for r in vocab.collect()}
+    # df ≥ 2 over the 6 strings
+    assert "red" in vocab_set and "car" in vocab_set and "green" in vocab_set
+    assert "one-off" not in vocab_set
+
+    feats = wordcooc_features(pairs).toPandas().sort_values("text_left")
+    by_left = dict(zip(feats["text_left"], feats["cooc_count"]))
+    assert by_left["red fast car"] == 2  # red, car (fast df≥2 but not shared? fast appears in both sides rows 1&2 → df=2; shared only left)
+    assert by_left["green bike"] == 2  # green, bike
+    assert by_left["one-off text"] == 0
+
+
+def test_class_ratio(spark):
+    labeled = spark.createDataFrame(
+        [(1,)] * 10 + [(0,)] * 31, "label int"
+    )
+    assert class_ratio(labeled) == 3
