@@ -274,19 +274,40 @@ def score_candidates(
     Output: (id_l, id_r, *FEATURES, logit, score, match) — narrow by design;
     downstream stages (clustering, metrics) never need the attribute text.
     """
+    if use_text_broadcast is None and text_index_broadcast is None:
+        use_text_broadcast = offers.count() <= TEXT_BROADCAST_MAX_OFFERS
+    small_offers = text_index_broadcast is not None or bool(use_text_broadcast)
+    if small_offers and text_index_broadcast is None:
+        text_index_broadcast = build_text_index_broadcast(offers)
+    narrow = build_pair_features_narrow(
+        pairs,
+        offers,
+        keep_texts=not small_offers,
+        broadcast_offers=broadcast_offers or small_offers,
+        feature_partitions=feature_partitions,
+    )
+    return apply_pair_scorer(
+        narrow, text_index_broadcast if small_offers else None, weights
+    )
+
+
+def build_pair_features_narrow(
+    pairs: DataFrame,
+    offers: DataFrame,
+    keep_texts: bool = False,
+    broadcast_offers: bool = False,
+    feature_partitions: int | None = None,
+) -> DataFrame:
+    """Candidate pairs → narrow per-pair feature table (ids, JVM features,
+    and — when keep_texts — the pair texts for the streamed scorer)."""
     spark = pairs.sparkSession
     n_parts = feature_partitions or spark.sparkContext.defaultParallelism * 2
     # pin parallelism at the SOURCE: the candidate table usually arrives
     # AQE-coalesced to few partitions, which would serialize the hydrate map
     # side and everything fused after it.
     pairs = pairs.repartition(n_parts, "id_l")
-    if use_text_broadcast is None and text_index_broadcast is None:
-        use_text_broadcast = offers.count() <= TEXT_BROADCAST_MAX_OFFERS
-    small_offers = text_index_broadcast is not None or bool(use_text_broadcast)
     prepped = prepare_offers_for_scoring(offers)
-    hydrated = hydrate_pairs(
-        pairs, prepped, broadcast_offers or small_offers, prepared=True
-    )
+    hydrated = hydrate_pairs(pairs, prepped, broadcast_offers, prepared=True)
 
     title_l = F.lower(F.coalesce(F.col("title_left"), F.lit("")))
     title_r = F.lower(F.coalesce(F.col("title_right"), F.lit("")))
@@ -322,24 +343,40 @@ def score_candidates(
         F.col("_btext_right").alias("_b_r"),
     )
 
-    if small_offers:
+    if not keep_texts:
+        narrow = narrow.drop("_b_l", "_b_r", "_tl_l", "_tl_r")
+    # Deliberate exchange between the JVM feature map and the Python stage:
+    # fusing them starves the Python workers (a single in-task producer feeds
+    # each worker at join+features speed, ~50% duty cycle measured). Without
+    # texts the rows are ids + feature doubles (~60B), so the shuffle is
+    # cheap and the scorer stage reads at memory speed.
+    return narrow.repartition(n_parts, "id_l", "id_r")
+
+
+def apply_pair_scorer(
+    narrow: DataFrame,
+    text_index_broadcast=None,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """The scorer stage proper: one pandas-UDF pass (embedding cosine +
+    Jaro-Winkler) over a narrow pair-feature table, then the calibrated
+    logistic threshold. Input rows carry (id_l, id_r, JVM features) and —
+    in the streamed-text variant — the pair texts (_b_l/_b_r/_tl_l/_tl_r).
+
+    This is the unit the north-rule throughput metric times:
+    candidate-pairs-scored/second.
+    """
+    if text_index_broadcast is not None:
         from ..functions.similarity import make_id_pair_scores_udf
 
-        if text_index_broadcast is None:
-            text_index_broadcast = build_text_index_broadcast(offers)
         udf = make_id_pair_scores_udf(text_index_broadcast)
-        # pairs are already hash-distributed on id_l across n_parts and the
-        # broadcast join preserves partitioning — no second exchange needed.
-        narrow = narrow.drop("_b_l", "_b_r", "_tl_l", "_tl_r")
         scored = narrow.withColumn("_ps", udf("id_l", "id_r"))
     else:
         from ..functions.similarity import pair_text_scores_udf
 
-        narrow = narrow.repartition(n_parts, "id_l", "id_r")
         scored = narrow.withColumn(
             "_ps", pair_text_scores_udf("_b_l", "_b_r", "_tl_l", "_tl_r")
         ).drop("_tl_l", "_tl_r", "_b_l", "_b_r")
-
     scored = (
         scored.withColumn("emb_cos", F.col("_ps.emb_cos"))
         .withColumn("jw_title", F.col("_ps.jw"))

@@ -44,6 +44,9 @@ def main() -> None:
     r_lo, r_hi = results[low], results[high]
     ratio = high / low
     efficiency = (r_hi["pairs_per_sec"] / r_lo["pairs_per_sec"]) / ratio
+    stage_efficiency = (
+        r_hi["stage_pairs_per_sec"] / r_lo["stage_pairs_per_sec"]
+    ) / ratio
     same_output = r_lo["entities_checksum"] == r_hi["entities_checksum"] and (
         r_lo["n_entities"] == r_hi["n_entities"]
     )
@@ -54,6 +57,7 @@ def main() -> None:
         "speedup": round(r_hi["pairs_per_sec"] / r_lo["pairs_per_sec"], 3),
         "core_ratio": ratio,
         "scaling_efficiency": round(efficiency, 3),
+        "scorer_stage_scaling_efficiency": round(stage_efficiency, 3),
         "output_identical": same_output,
     }
     print(json.dumps(summary, indent=2))
