@@ -55,17 +55,23 @@ def brute_force_topk(
     )
 
 
-def _make_bucket_udf(dim: int, n_bits: int, seed: int):
-    planes = np.random.RandomState(seed).normal(size=(dim, n_bits))
+def _make_buckets_udf(dim: int, n_bits: int, n_tables: int, seed: int):
+    planes = np.random.RandomState(seed).normal(size=(dim, n_bits * n_tables))
+    weights = 1 << np.arange(n_bits, dtype=np.int64)
 
-    @pandas_udf(LongType())
-    def bucket(vecs: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
+    @pandas_udf(ArrayType(LongType()))
+    def buckets(vecs: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
         mat = np.vstack(vecs.to_numpy())
         bits = (mat @ planes) > 0
-        vals = bits @ (1 << np.arange(n_bits, dtype=np.int64))
-        return pd.Series(vals.astype(np.int64))
+        per_table = [
+            (bits[:, t * n_bits : (t + 1) * n_bits] @ weights)
+            + (np.int64(t) << 32)
+            for t in range(n_tables)
+        ]
+        vals = np.stack(per_table, axis=1).astype(np.int64)
+        return pd.Series(list(vals))
 
-    return bucket
+    return buckets
 
 
 def lsh_topk(
@@ -73,7 +79,8 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 10,
     dim: int = 64,
-    n_bits: int = 8,
+    n_bits: int = 5,
+    n_tables: int = 4,
     seed: int = 42,
     multiprobe: bool = True,
     id_col: str = "vec_id",
@@ -83,12 +90,15 @@ def lsh_topk(
 ) -> DataFrame:
     """LSH-bucketed approximate top-k with exact re-rank inside buckets.
 
-    multiprobe=True probes every 1-bit-flipped neighbor bucket of the query
-    (n_bits+1 probes) — the standard recall lever without a second index.
+    Recall levers: ``n_tables`` independent hash tables (bucket keys carry
+    the table id in the high bits) and ``multiprobe`` (each query also
+    probes every 1-bit-flipped neighbor bucket per table).
     """
-    bucket_udf = _make_bucket_udf(dim, n_bits, seed)
-    c = corpus.withColumn("_bucket", bucket_udf(F.col(vec_col)))
-    q = queries.withColumn("_qbucket", bucket_udf(F.col(query_vec_col)))
+    buckets_udf = _make_buckets_udf(dim, n_bits, n_tables, seed)
+    c = corpus.withColumn(
+        "_bucket", F.explode(buckets_udf(F.col(vec_col)))
+    )
+    q = queries.withColumn("_qbucket", F.explode(buckets_udf(F.col(query_vec_col))))
     if multiprobe:
         flips = F.array(
             F.col("_qbucket"),
