@@ -99,13 +99,22 @@ from s2
 
 
 def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Sums accumulate in decimal (exact, order-independent) and the FINAL
+    # value is cast to double on BOTH engines: Spark widens sum(decimal(18,2))
+    # to decimal(28,2) while DuckDB widens to decimal(38,2), and the driver's
+    # value hash sees those renders differently even though values are equal.
+    # One terminal rounding of the same exact decimal is bit-identical.
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -113,8 +122,8 @@ def q_lineitem_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LINEITEM_AGG = """
 select l_returnflag, l_linestatus,
-       sum(cast(l_quantity as decimal(18,2))) as sum_qty,
-       sum(cast(l_extendedprice as decimal(18,2))) as sum_base_price,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) as sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as sum_base_price,
        count(*) as count_order
 from lineitem
 where l_shipdate <= timestamp '1998-09-01'
@@ -137,14 +146,14 @@ def q_hydration_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             "c_name",
             F.col("n_name").alias("nation_name"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("total_price"),
+            F.col("o_totalprice").cast("double").alias("total_price"),
         )
     )
 
 
 SQL_HYDRATION_JOIN = """
 select o_orderkey, c_name, n_name as nation_name,
-       cast(o_totalprice as decimal(18,2)) as total_price
+       cast(o_totalprice as double) as total_price
 from orders join customer on o_custkey = c_custkey
             join nation on c_nationkey = n_nationkey
 """
@@ -335,10 +344,10 @@ def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CONFUSION_MATRIX = """
-select sum(case when vec_id % 3 = 0 and label = 0 then 1 else 0 end) as tp,
-       sum(case when vec_id % 3 = 0 and label <> 0 then 1 else 0 end) as fp,
-       sum(case when vec_id % 3 <> 0 and label <> 0 then 1 else 0 end) as tn,
-       sum(case when vec_id % 3 <> 0 and label = 0 then 1 else 0 end) as fn
+select cast(sum(case when vec_id % 3 = 0 and label = 0 then 1 else 0 end) as bigint) as tp,
+       cast(sum(case when vec_id % 3 = 0 and label <> 0 then 1 else 0 end) as bigint) as fp,
+       cast(sum(case when vec_id % 3 <> 0 and label <> 0 then 1 else 0 end) as bigint) as tn,
+       cast(sum(case when vec_id % 3 <> 0 and label = 0 then 1 else 0 end) as bigint) as fn
 from embeddings
 """
 
@@ -401,7 +410,7 @@ SQL_TOKEN_STATS = r"""
 select lang,
        max(len(regexp_split_to_array(text, '\s+'))) as max_tokens,
        min(len(regexp_split_to_array(text, '\s+'))) as min_tokens,
-       sum(len(regexp_split_to_array(text, '\s+'))) as sum_tokens,
+       cast(sum(len(regexp_split_to_array(text, '\s+'))) as bigint) as sum_tokens,
        count(*) as n_docs
 from documents group by lang
 """

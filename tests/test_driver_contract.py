@@ -15,13 +15,17 @@ TABLES = (
 
 
 def _norm(v):
+    # Full-precision, type-sensitive rendering: a Spark decimal(28,2) vs a
+    # DuckDB double MUST hash differently here (the driver's compare does),
+    # so queries are forced to cast terminal aggregates to identical concrete
+    # types on both engines. No %.6g smoothing.
     if v is None:
         return "NULL"
     if isinstance(v, float):
-        return "NaN" if math.isnan(v) else f"{v:.6g}"
+        return "NaN" if math.isnan(v) else repr(v)
     if isinstance(v, bool):
         return str(int(v))
-    return str(v)
+    return f"{type(v).__name__}:{v}" if not isinstance(v, (int, str)) else str(v)
 
 
 def _hash(rows, cols):
