@@ -174,14 +174,26 @@ def candidate_pairs_from_keys(
 ) -> DataFrame:
     """(id, key) → distinct candidate (id_l < id_r) pairs.
 
-    groupBy(key) + JVM-side combination expansion; blocks larger than
-    max_block_size are dropped (reference-style skew control).
+    Skew safety: block sizes are counted FIRST (count is a partially
+    aggregable sum — each map task contributes a few bytes per key) and only
+    keys within [2, max_block_size] reach the collect_set. Collecting before
+    filtering would materialize a degenerate key's entire id list in one
+    aggregation buffer: rare-token keys are df-bounded by construction, but
+    LSH band keys are not (thousands of near-identical token sets share one
+    band), and that single buffer OOMs an executor at web scale. The count
+    pass and the collect pass hash-partition on the same key, so AQE plans
+    the semi-join shuffle-light.
     """
-    grouped = keys.groupBy("key").agg(
-        F.array_sort(F.collect_set("id")).alias("ids")
+    sizes = keys.groupBy("key").agg(F.count("*").alias("_n"))
+    bounded_keys = keys.join(
+        sizes.where(
+            (F.col("_n") >= 2) & (F.col("_n") <= max_block_size)
+        ).select("key"),
+        "key",
+        "left_semi",
     )
-    bounded = grouped.where(
-        (F.size("ids") >= 2) & (F.size("ids") <= max_block_size)
+    bounded = bounded_keys.groupBy("key").agg(
+        F.array_sort(F.collect_set("id")).alias("ids")
     )
     # pairs = [(ids[i], ids[j]) for i < j] — generated without a join
     pairs = bounded.select(

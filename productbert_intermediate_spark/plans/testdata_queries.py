@@ -529,6 +529,10 @@ from documents
 
 _MINHASH_K = 8
 _MINHASH_BANDS = 4
+# Degenerate band keys (boilerplate-heavy corpora hash thousands of docs into
+# one band) are dropped rather than joined: an uncapped band self-join is
+# quadratic in the hot key. Mirrored in the oracle SQL, so results still match.
+_LSH_BAND_CAP = 200
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,6 +582,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(_MINHASH_BANDS)
     ]
     keyed = sig.select("doc_id", F.explode(F.array(*bands)).alias("key"))
+    band_sizes = keyed.groupBy("key").agg(F.count("*").alias("_n"))
+    keyed = keyed.join(
+        band_sizes.where(F.col("_n") <= _LSH_BAND_CAP).select("key"),
+        "key",
+        "left_semi",
+    )
     other = keyed.select(F.col("doc_id").alias("doc_b"), "key")
     return (
         keyed.join(other, "key")
@@ -613,9 +623,12 @@ with words as (
   from tok group by doc_id
 ), bands as (
   select doc_id, unnest([{band_exprs}]) as key from mh
+), capped as (
+  select doc_id, key from bands
+  qualify count(*) over (partition by key) <= {_LSH_BAND_CAP}
 )
 select distinct a.doc_id as doc_a, b.doc_id as doc_b
-from bands a join bands b on a.key = b.key and a.doc_id < b.doc_id
+from capped a join capped b on a.key = b.key and a.doc_id < b.doc_id
 """
 
 

@@ -104,6 +104,28 @@ def test_oversized_blocks_are_dropped(spark):
     assert uncapped.count() == 30 * 29 // 2
 
 
+def test_degenerate_band_key_never_reaches_collect(spark):
+    """A planted degenerate LSH key (10k identical token sets → every id in
+    one band) must be filtered by the count pass BEFORE collect_set: the
+    optimized plan gates the collect aggregation behind a semi-join on the
+    bounded keys, and the job completes with the oversized block dropped
+    while healthy small blocks still pair up."""
+    hot = [(i, "k") for i in range(10_000)]
+    ok = [(100_000 + i, f"g{i // 2}") for i in range(6)]
+    keys = spark.createDataFrame(hot + ok, "id long, key string")
+
+    pairs = B.candidate_pairs_from_keys(keys, max_block_size=5)
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    collect_pos = plan.find("collect_set")
+    semi_pos = plan.find("LeftSemi")
+    assert collect_pos != -1 and semi_pos != -1
+    # plans print top-down: collect_set must sit ABOVE (after) the semi-join
+    assert collect_pos < semi_pos, "collect_set runs before the size gate"
+
+    got = sorted(map(tuple, pairs.collect()))
+    assert got == [(100_000 + 2 * i, 100_001 + 2 * i) for i in range(3)]
+
+
 def test_blocking_is_deterministic(spark, fixtures_dir):
     offers = _offers(spark, fixtures_dir)
     a = sorted(map(tuple, B.block_offers(offers).collect()))
