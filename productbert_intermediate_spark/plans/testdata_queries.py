@@ -642,23 +642,22 @@ _JACCARD_THRESHOLD = 0.6
 
 
 def q_jaccard_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact threshold-Jaccard dup pairs via prefix-filter similarity join.
+
+    The oracle below is the naive within-source all-pairs join; the Spark
+    plan is the AllPairs/PPJoin prefix-filtered equivalent (operators/
+    setsim.py) — recall-lossless, so outputs are identical, but the physical
+    plan contains only equi-joins on (source, token), never a per-group
+    cartesian.
+    """
+    from ..operators.setsim import jaccard_similarity_join
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.array_distinct(F.split("text", " ")).alias("toks")
     )
-    other = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"),
-        F.col("toks").alias("toks_b"),
-    )
-    joined = docs.join(
-        other,
-        (F.col("source") == F.col("source_b")) & (F.col("doc_id") < F.col("doc_b")),
-    )
-    inter = F.size(F.array_intersect("toks", "toks_b")).cast("double")
-    union = F.size(F.array_union("toks", "toks_b")).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return joined.where(jac >= _JACCARD_THRESHOLD).select(
-        F.col("doc_id").alias("doc_a"), "doc_b"
-    )
+    return jaccard_similarity_join(
+        docs, "doc_id", "toks", _JACCARD_THRESHOLD, group_cols=["source"]
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
 
 
 SQL_JACCARD_DUP_PAIRS = f"""
