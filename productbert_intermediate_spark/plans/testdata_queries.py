@@ -439,15 +439,24 @@ from documents group by lang
 
 
 def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    # Global top-k WITHOUT a global window: orderBy().limit(k) compiles to
+    # TakeOrderedAndProject (each partition contributes its local top-k in
+    # parallel; the driver merges k·P rows), then ranks are assigned by
+    # sorting the k survivors inside one aggregated array — no
+    # single-partition WindowExec anywhere in the plan.
     docs = _t(spark, sf_dir, "documents")
     key = _md5(F.concat(F.col("doc_id").cast("string"), F.lit(":seed42")))
-    return (
+    top = (
         docs.select("doc_id", key.alias("shuffle_key"))
-        .withColumn("pos", F.row_number().over(Window.orderBy("shuffle_key")))
-        .where(F.col("pos") <= 20)
-        .select("doc_id", "pos")
+        .orderBy("shuffle_key")
+        .limit(20)
+    )
+    return (
+        top.agg(
+            F.sort_array(F.collect_list(F.struct("shuffle_key", "doc_id"))).alias("a")
+        )
+        .select(F.posexplode("a").alias("p", "s"))
+        .select(F.col("s.doc_id").alias("doc_id"), (F.col("p") + 1).alias("pos"))
     )
 
 
@@ -1076,8 +1085,10 @@ def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    # Top-k via TakeOrderedAndProject (parallel per-partition top-k), never a
+    # global Window. Ranks come from sorting the k survivors in one array;
+    # sort key is (-cos, vec_id) — double negation is exact, so the order is
+    # identical to desc(cos), asc(vec_id).
     emb = _t(spark, sf_dir, "embeddings")
     query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(query))
@@ -1089,12 +1100,19 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v))
     nb = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda a, v: a + v * v))
     cos = (dot / (na * nb)).alias("cos")
-    w = Window.orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
+    top = (
         joined.select("vec_id", cos)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 10)
-        .select("vec_id", "rank")
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+    return (
+        top.agg(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col("cos")).alias("nc"), "vec_id"))
+            ).alias("a")
+        )
+        .select(F.posexplode("a").alias("p", "s"))
+        .select(F.col("s.vec_id").alias("vec_id"), (F.col("p") + 1).alias("rank"))
     )
 
 
