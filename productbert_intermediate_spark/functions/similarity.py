@@ -132,10 +132,11 @@ def array_cosine(a: Column, b: Column) -> Column:
 
 EMBED_DIM = 256
 
-# per-executor memo: token → (index, sign) contribution vector key.
+# per-executor memo: (token, dim) → (index, sign) contribution vector key.
 # Tokens repeat heavily across documents; caching makes embedding cost
-# proportional to *vocabulary*, not corpus size.
-_TOKEN_MEMO: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+# proportional to *vocabulary*, not corpus size. Keyed by dim too: a warm
+# memo must not leak indices computed mod a different dimension.
+_TOKEN_MEMO: dict[tuple[str, int], tuple[np.ndarray, np.ndarray]] = {}
 
 
 def _stable_hash(data: bytes) -> int:
@@ -147,7 +148,8 @@ def _stable_hash(data: bytes) -> int:
 
 def _token_contrib(tok: str, dim: int) -> tuple[np.ndarray, np.ndarray]:
     """(indices, signs) of the token's word + char-3gram features."""
-    cached = _TOKEN_MEMO.get(tok)
+    memo_key = (tok, dim)
+    cached = _TOKEN_MEMO.get(memo_key)
     if cached is not None:
         return cached
     feats = [tok]
@@ -160,7 +162,7 @@ def _token_contrib(tok: str, dim: int) -> tuple[np.ndarray, np.ndarray]:
         idx[j] = h % dim
         sgn[j] = 1.0 if h & 0x80000000 else -1.0
     if len(_TOKEN_MEMO) < 2_000_000:  # bound executor memory
-        _TOKEN_MEMO[tok] = (idx, sgn)
+        _TOKEN_MEMO[memo_key] = (idx, sgn)
     return idx, sgn
 
 
@@ -219,9 +221,9 @@ def embed_text_udf(s: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
     return pd.Series(list(mat))
 
 
-# per-executor text→unit-vector memo. Offers recur across ~dozens of
+# per-executor (text, dim)→unit-vector memo. Offers recur across ~dozens of
 # candidate pairs, so embedding cost collapses to O(distinct texts).
-_TEXT_MEMO: dict[str, np.ndarray] = {}
+_TEXT_MEMO: dict[tuple[str, int], np.ndarray] = {}
 
 
 def _embed_memo(texts: list[str | None], dim: int = EMBED_DIM) -> np.ndarray:
@@ -229,7 +231,7 @@ def _embed_memo(texts: list[str | None], dim: int = EMBED_DIM) -> np.ndarray:
     missing: dict[str, list[int]] = {}
     for i, t in enumerate(texts):
         key = t or ""
-        vec = _TEXT_MEMO.get(key)
+        vec = _TEXT_MEMO.get((key, dim))
         if vec is not None:
             out[i] = vec
         else:
@@ -239,7 +241,7 @@ def _embed_memo(texts: list[str | None], dim: int = EMBED_DIM) -> np.ndarray:
         fresh = embed_texts(keys, dim)
         for k, vec in zip(keys, fresh):
             if len(_TEXT_MEMO) < 500_000:  # bound executor memory (~1GB max)
-                _TEXT_MEMO[k] = vec
+                _TEXT_MEMO[(k, dim)] = vec
             for i in missing[k]:
                 out[i] = vec
     return out
@@ -322,8 +324,21 @@ def make_id_pair_scores_udf(index_broadcast):
         emb = idx["emb"]
         texts = idx["texts"]
         tlens = idx["tlens"]
-        li = np.searchsorted(ids, id_l.to_numpy())
-        ri = np.searchsorted(ids, id_r.to_numpy())
+        lids = id_l.to_numpy()
+        rids = id_r.to_numpy()
+        li = np.clip(np.searchsorted(ids, lids), 0, len(ids) - 1)
+        ri = np.clip(np.searchsorted(ids, rids), 0, len(ids) - 1)
+        # searchsorted returns an insertion point, not a membership proof: an
+        # id missing from the index (stale broadcast, offers filtered after
+        # index build) would silently score against a NEIGHBORING offer.
+        bad = (ids[li] != lids) | (ids[ri] != rids)
+        if bad.any():
+            missing = np.unique(np.concatenate([lids[ids[li] != lids], rids[ids[ri] != rids]]))
+            raise ValueError(
+                f"{bad.sum()} pair ids absent from the broadcast text index "
+                f"(e.g. {missing[:5].tolist()}); rebuild the index from the "
+                "same offers DataFrame being scored"
+            )
         cos = np.einsum("ij,ij->i", emb[li], emb[ri], dtype=np.float64)
         jw = np.empty(len(li), dtype=np.float64)
         for k in range(len(li)):

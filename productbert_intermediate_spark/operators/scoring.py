@@ -221,7 +221,12 @@ def score_pairs(
 
 # Above this many offers, the per-executor text index is no longer
 # broadcastable and pair texts ship through the Arrow channel instead.
-TEXT_BROADCAST_MAX_OFFERS = 5_000_000
+# Sized by bytes, not wishful thinking: an index row is ~120B of blocking
+# text + 1KB of float32 embedding (dim 256), so 300k offers ≈ 350MB — well
+# inside Spark's broadcast limit and a 8-16GB driver heap. The same bound
+# gates the hydration-join broadcast (prepared offers carry token arrays,
+# ~0.5KB/row → ~150MB).
+TEXT_BROADCAST_MAX_OFFERS = 300_000
 
 
 def build_text_index_broadcast(offers: DataFrame):
@@ -252,6 +257,7 @@ def score_candidates(
     feature_partitions: int | None = None,
     use_text_broadcast: bool | None = None,
     text_index_broadcast=None,
+    n_offers: int | None = None,
 ) -> DataFrame:
     """Full scoring stage, shuffle- and Python-lean:
 
@@ -275,7 +281,11 @@ def score_candidates(
     downstream stages (clustering, metrics) never need the attribute text.
     """
     if use_text_broadcast is None and text_index_broadcast is None:
-        use_text_broadcast = offers.count() <= TEXT_BROADCAST_MAX_OFFERS
+        # Callers that already know the offer count (pipeline stages read it
+        # from the checkpoint manifest) pass n_offers and skip the extra job.
+        if n_offers is None:
+            n_offers = offers.count()
+        use_text_broadcast = n_offers <= TEXT_BROADCAST_MAX_OFFERS
     small_offers = text_index_broadcast is not None or bool(use_text_broadcast)
     if small_offers and text_index_broadcast is None:
         text_index_broadcast = build_text_index_broadcast(offers)

@@ -567,19 +567,30 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     toks = F.array_distinct(shingles)
 
-    def _mh(seed: int):
-        # NB: the lambda must take exactly one arg — a two-arg lambda is
-        # interpreted by F.transform as (element, index).
-        suffix = f":{seed}"
-        return F.array_min(
-            F.transform(
-                toks,
-                lambda t: F.md5(F.encode(F.concat(t, F.lit(suffix)), "utf-8")),
-            )
-        ).alias(f"mh{seed}")
+    # md5 dominates signature cost, so compute TWO digests per shingle and
+    # slice each 32-hex digest into four 8-hex (32-bit) minhash components —
+    # 8 independent hash values for 2 md5 calls instead of 8. Fixed-width
+    # lowercase hex compares lexicographically == numerically, identically
+    # in Spark and DuckDB, so array_min over slices is a valid minhash and
+    # the oracle mirrors it exactly.
+    def _digests(salt: str):
+        suffix = f":{salt}"
+        return F.transform(
+            toks, lambda t: F.md5(F.encode(F.concat(t, F.lit(suffix)), "utf-8"))
+        )
 
-    mh = [_mh(s) for s in range(_MINHASH_K)]
-    sig = docs.where(F.length("text") > 0).select("doc_id", *mh)
+    hashed = docs.where(F.length("text") > 0).select(
+        "doc_id", _digests("0").alias("_h0"), _digests("1").alias("_h1")
+    )
+    def _mh_slice(s: int):
+        start = 1 + 8 * (s % 4)
+        # one-arg lambda only: F.transform passes (element, index) to two-arg
+        # lambdas, which would silently override a default-arg position.
+        return F.array_min(
+            F.transform(f"_h{s // 4}", lambda h: F.substring(h, start, 8))
+        ).alias(f"mh{s}")
+
+    sig = hashed.select("doc_id", *[_mh_slice(s) for s in range(_MINHASH_K)])
     rows = _MINHASH_K // _MINHASH_BANDS
     bands = [
         F.md5(
@@ -608,7 +619,8 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     mh_cols = ",\n       ".join(
-        f"min(md5(t || ':{s}')) as mh{s}" for s in range(_MINHASH_K)
+        f"min(substr(md5(t || ':{s // 4}'), {1 + 8 * (s % 4)}, 8)) as mh{s}"
+        for s in range(_MINHASH_K)
     )
     rows = _MINHASH_K // _MINHASH_BANDS
     band_exprs = ", ".join(
