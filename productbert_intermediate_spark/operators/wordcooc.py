@@ -46,29 +46,45 @@ def wordcooc_features(
     right_col: str = "text_right",
     vocabulary: DataFrame | None = None,
     min_df: int = 2,
+    id_cols: list[str] | None = None,
 ) -> DataFrame:
     """Add ``cooc_count`` = |vocab-filtered tokens_left ∩ tokens_right|.
 
     vocabulary=None builds it from the union of both sides (reference
     behavior: fit on train-pair left+right strings, :58).
+
+    The vocabulary stays a TABLE end-to-end: the shared tokens of each pair
+    are exploded, joined against it (Spark broadcasts it when it fits,
+    shuffle-joins when it doesn't), and re-aggregated per pair. Collecting
+    the vocabulary into a single array cell would cap it at one row's worth
+    of memory — a web-scale corpus has billions of distinct tokens.
+
+    id_cols: columns that identify a pair for the re-aggregation join. When
+    omitted, the text pair itself is the key (correct — the feature depends
+    only on the texts — but it shuffles full texts; pass ids at scale).
     """
     if vocabulary is None:
         union = pairs.select(F.col(left_col).alias("text")).unionAll(
             pairs.select(F.col(right_col).alias("text"))
         )
         vocabulary = build_vocabulary(union, "text", min_df)
-    vocab_arr = F.broadcast(
-        vocabulary.select(F.collect_set("token").alias("vocab")).limit(1)
-    )
-    out = pairs.crossJoin(vocab_arr)
+    key = list(id_cols) if id_cols else [left_col, right_col]
     inter = F.array_intersect(
-        F.array_intersect(
-            F.array_distinct(tokenize(F.col(left_col))),
-            F.array_distinct(tokenize(F.col(right_col))),
-        ),
-        F.col("vocab"),
+        F.array_distinct(tokenize(F.col(left_col))),
+        F.array_distinct(tokenize(F.col(right_col))),
     )
-    return out.withColumn("cooc_count", F.size(inter)).drop("vocab")
+    counted = (
+        pairs.select(*key, F.explode(inter).alias("token"))
+        .dropDuplicates(key + ["token"])
+        .join(vocabulary.select("token"), "token")
+        .groupBy(*key)
+        .agg(F.count("*").alias("_cooc"))
+    )
+    return (
+        pairs.join(counted, key, "left")
+        .withColumn("cooc_count", F.coalesce(F.col("_cooc"), F.lit(0)).cast("int"))
+        .drop("_cooc")
+    )
 
 
 def class_ratio(labeled: DataFrame, label_col: str = "label") -> float:

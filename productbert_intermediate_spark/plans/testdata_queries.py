@@ -951,9 +951,9 @@ def q_wordcooc_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("text_right"),
     )
     pairs = left.join(right, ["source", "pair_no"])
-    return wordcooc_features(pairs, min_df=2).select(
-        "doc_left", "doc_right", "cooc_count"
-    )
+    return wordcooc_features(
+        pairs, min_df=2, id_cols=["doc_left", "doc_right"]
+    ).select("doc_left", "doc_right", "cooc_count")
 
 
 SQL_WORDCOOC_FEATURE = """
