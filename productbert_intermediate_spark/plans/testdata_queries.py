@@ -988,6 +988,120 @@ from pairs p left join counted c using (doc_left, doc_right)
 
 
 # --------------------------------------------------------------------------
+# P14 — BERT pair encoding: [CLS] a [SEP] b [SEP], longest-first truncation,
+# token_type_ids, attention_mask, pad-to-max (reference prepare_for_model).
+# Runs the REAL library encoder (functions/bert_encode.py) in its
+# whitespace-tokenizer mode, which is SQL-expressible; the WordPiece subword
+# path of the same module is golden-tested in tests/test_bert_encode.py.
+
+_BERT_MAX_LEN = 32  # budget 29, ceil(29/2) = 15 — small enough to exercise truncation
+
+
+def q_bert_pair_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.bert_encode import WordPieceVocab, encode_pairs
+    from ..operators.wordcooc import build_vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab_tokens = [
+        r["token"]
+        for r in build_vocabulary(docs.select("text"), min_df=100)
+        .orderBy("token")
+        .collect()
+    ]
+    vocab = WordPieceVocab.from_tokens(vocab_tokens)
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .withColumn("side", (F.col("rn") % 2 == 1).cast("int"))
+        .withColumn("pair_no", ((F.col("rn") - 1) / 2).cast("long"))
+    )
+    left = paired.where("side = 1").select(
+        "source", "pair_no", F.col("doc_id").alias("doc_left"),
+        F.col("text").alias("text_left"),
+    )
+    right = paired.where("side = 0").select(
+        "source", "pair_no", F.col("doc_id").alias("doc_right"),
+        F.col("text").alias("text_right"),
+    )
+    pairs = left.join(right, ["source", "pair_no"])
+    enc = encode_pairs(
+        pairs, "text_left", "text_right", vocab,
+        max_length=_BERT_MAX_LEN, wordpiece=False,
+    )
+    return enc.select(
+        "doc_left",
+        "doc_right",
+        F.col("encoded.input_ids").alias("input_ids"),
+        F.col("encoded.token_type_ids").alias("token_type_ids"),
+        F.col("encoded.attention_mask").alias("attention_mask"),
+    )
+
+
+SQL_BERT_PAIR_ENCODE = f"""
+with tok as (
+  select doc_id, unnest(list_distinct(string_split(text, ' '))) as token
+  from documents
+), vocab as (
+  select token, 3 + row_number() over (order by token) as id
+  from (select token from tok group by token having count(*) >= 100)
+), numbered as (
+  select doc_id, source, text,
+         row_number() over (partition by source order by doc_id) as rn
+  from documents
+), pairs as (
+  select l.doc_id as doc_left, r.doc_id as doc_right,
+         l.text as text_left, r.text as text_right
+  from numbered l join numbered r
+    on l.source = r.source and l.rn % 2 = 1 and r.rn = l.rn + 1
+), used as (
+  select doc_left as doc_id, text_left as text from pairs
+  union all
+  select doc_right, text_right from pairs
+), tp as (
+  select doc_id,
+         unnest(string_split(text, ' ')) as t,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) as pos
+  from used
+), ids as (
+  select tp.doc_id, list(coalesce(vocab.id, 1) order by tp.pos) as ids
+  from tp left join vocab on tp.t = vocab.token
+  group by tp.doc_id
+), enc as (
+  select p.doc_left, p.doc_right, la.ids as ia, ra.ids as ib,
+         len(la.ids) as na, len(ra.ids) as nb
+  from pairs p
+  join ids la on p.doc_left = la.doc_id
+  join ids ra on p.doc_right = ra.doc_id
+), cut as (
+  select doc_left, doc_right, ia, ib,
+         case when na + nb <= {_BERT_MAX_LEN - 3} then na
+              else least(na, greatest({_BERT_MAX_LEN - 3} - nb,
+                                      {(_BERT_MAX_LEN - 3 + 1) // 2})) end as ka,
+         case when na + nb <= {_BERT_MAX_LEN - 3} then nb
+              else {_BERT_MAX_LEN - 3}
+                   - least(na, greatest({_BERT_MAX_LEN - 3} - nb,
+                                        {(_BERT_MAX_LEN - 3 + 1) // 2})) end as kb
+  from enc
+)
+select doc_left, doc_right,
+       cast([2] || ia[1:ka] || [3] || ib[1:kb] || [3]
+            || list_transform(range({_BERT_MAX_LEN} - (ka + kb + 3)), x -> 0)
+            as integer[]) as input_ids,
+       cast(list_transform(range(ka + 2), x -> 0)
+            || list_transform(range(kb + 1), x -> 1)
+            || list_transform(range({_BERT_MAX_LEN} - (ka + kb + 3)), x -> 0)
+            as integer[]) as token_type_ids,
+       cast(list_transform(range(ka + kb + 3), x -> 1)
+            || list_transform(range({_BERT_MAX_LEN} - (ka + kb + 3)), x -> 0)
+            as integer[]) as attention_mask
+from cut
+"""
+
+
+# --------------------------------------------------------------------------
 # A2 — class-ratio aggregation (pos_neg loss weight source)
 
 
@@ -1162,6 +1276,7 @@ REGISTRY: dict[str, tuple] = {
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "bert_pair_encode": (q_bert_pair_encode, SQL_BERT_PAIR_ENCODE),
     "vocab_min_df": (q_vocab_min_df, SQL_VOCAB_MIN_DF),
     "wordcooc_feature": (q_wordcooc_feature, SQL_WORDCOOC_FEATURE),
     "class_ratio": (q_class_ratio, SQL_CLASS_RATIO),
