@@ -69,9 +69,9 @@ def jaccard_similarity_join(
     other = prefix.select(
         F.col("_id").alias("_id_b"),
         *[F.col(g).alias(f"_{g}_b") for g in gcols],
-        "_ptok",
+        F.col("_ptok").alias("_ptok_b"),
     )
-    cond = [prefix["_ptok"] == other["_ptok"], prefix["_id"] < other["_id_b"]]
+    cond = [F.col("_ptok") == F.col("_ptok_b"), F.col("_id") < F.col("_id_b")]
     cond += [F.col(g) == F.col(f"_{g}_b") for g in gcols]
     candidates = (
         prefix.join(other, cond)

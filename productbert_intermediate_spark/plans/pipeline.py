@@ -40,6 +40,8 @@ def run_pipeline(
     labeled_path: str | None = None,
     weights: dict[str, float] | None = None,
     blocking_params: dict | None = None,
+    truth_path: str | None = None,
+    training_amount: int = 15,
     force: bool = False,
 ) -> dict:
     """Execute (or resume) the full pipeline; returns a run report dict."""
@@ -102,7 +104,32 @@ def run_pipeline(
     )
     report["stages"]["entities"] = {"resumed": resumed}
 
+    if truth_path:
+        # Training-set construction (the reference's three-script stage):
+        # needs ground-truth cluster ids, which live in the truth table —
+        # the reference's corpus carries cluster_id natively.
+        from ..operators.training_sets import build_training_pairs
+
+        k_train = _params_key(parent=k_offers, truth=truth_path, amount=training_amount)
+        training, resumed = cat.write_or_resume(
+            "training_pairs",
+            lambda: build_training_pairs(
+                B.build_title_for_ts(
+                    offers.join(
+                        spark.read.parquet(truth_path).select("id", "cluster_id"),
+                        "id",
+                    )
+                ),
+                amount=training_amount,
+            ),
+            params_key=k_train,
+            force=force,
+        )
+        report["stages"]["training_pairs"] = {"resumed": resumed}
+        report.setdefault("counts", {})["training_pairs"] = training.count()
+
     report["counts"] = {
+        **report.get("counts", {}),
         "offers": offers.count(),
         "candidate_pairs": candidates.count(),
         "match_edges": scored.where("match").count(),

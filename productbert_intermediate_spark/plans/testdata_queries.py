@@ -1172,6 +1172,138 @@ select o_custkey, o_orderkey, 'random' as bucket from (
 
 
 # --------------------------------------------------------------------------
+# Training-set construction operators (SURVEY §2.3 J6, §2.5 W3/W7) — the
+# reference's negative-knn filter chain, hard/random split arithmetic, and
+# seeded left/right swap, each against a full SQL oracle.
+
+_TS_AMOUNT = 6
+_TS_NUM_BEST = 50
+_TS_SIM = 0.25
+
+
+def q_training_subselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.training_sets import hard_random_counts
+
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count("*").alias("n_avail"))
+    n_hard, n_rand = hard_random_counts(F.col("n_avail"), 15)
+    return per_cust.select(
+        "o_custkey", "n_avail", n_hard.alias("n_hard"), n_rand.alias("n_rand")
+    )
+
+
+SQL_TRAINING_SUBSELECT = """
+with counts as (
+  select o_custkey, count(*) as n_avail from orders group by o_custkey
+), m as (
+  select o_custkey, n_avail, least(n_avail, 15) as m from counts
+)
+select o_custkey, n_avail,
+       cast(case when m = 1 then 1
+                 when m % 2 = 1 then m // 2 + 1
+                 else m // 2 end as bigint) as n_hard,
+       cast(m - case when m = 1 then 1
+                     when m % 2 = 1 then m // 2 + 1
+                     else m // 2 end as bigint) as n_rand
+from m
+"""
+
+
+def q_training_pair_swap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.training_sets import seeded_swap
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.least("l_partkey", "l_suppkey").alias("id_a"),
+        F.greatest("l_partkey", "l_suppkey").alias("id_b"),
+    ).distinct()
+    return seeded_swap(pairs, seed=42).select("id_left", "id_right", "pair_id")
+
+
+SQL_TRAINING_PAIR_SWAP = """
+with p as (
+  select distinct least(l_partkey, l_suppkey) as id_a,
+                  greatest(l_partkey, l_suppkey) as id_b
+  from lineitem
+), c as (
+  select id_a, id_b,
+         substr(md5(cast(id_a as varchar) || '#' || cast(id_b as varchar)
+                    || ':swap42'), 1, 1) < '8' as flip
+  from p
+)
+select case when flip then id_b else id_a end as id_left,
+       case when flip then id_a else id_b end as id_right,
+       cast(case when flip then id_b else id_a end as varchar) || '#'
+         || cast(case when flip then id_a else id_b end as varchar) as pair_id
+from c
+"""
+
+
+def q_training_neg_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed negative-sampling chain over documents-as-corpus
+    (source = category, lang = proxy cluster): exact threshold-similarity
+    candidates → top-num_best → drop sim ≥ 1 → best-per-cluster →
+    cross-cluster only → hard head sized by the split arithmetic."""
+    from ..operators.training_sets import (
+        candidate_similarities,
+        hard_negative_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("category"),
+        F.col("lang").alias("cluster_id"),
+        F.array_distinct(F.split("text", " ")).alias("tokens"),
+    )
+    cands = candidate_similarities(
+        corpus, _TS_SIM, group_col="category", toks_col="tokens"
+    )
+    hard = hard_negative_pairs(corpus, cands, amount=_TS_AMOUNT, num_best=_TS_NUM_BEST)
+    return hard.select("query_id", "cand_id", "sim", F.col("rank").alias("pick"))
+
+
+SQL_TRAINING_NEG_KNN = f"""
+with d as (
+  select doc_id as id, source as category, lang as cluster_id,
+         list_distinct(string_split(text, ' ')) as toks
+  from documents
+), pairs as (
+  select q.id as query_id, c.id as cand_id,
+         len(list_intersect(q.toks, c.toks)) * 1.0
+           / nullif(len(list_distinct(list_concat(q.toks, c.toks))), 0) as sim,
+         q.cluster_id as qc, c.cluster_id as cc
+  from d q join d c on q.category = c.category and q.id <> c.id
+), thresh as (
+  select * from pairs where sim >= {_TS_SIM}
+), top as (
+  select * from thresh
+  qualify row_number() over (partition by query_id
+                             order by sim desc, cand_id asc) <= {_TS_NUM_BEST}
+), nodup as (
+  select * from top where sim < 1.0
+), div as (
+  select * from nodup
+  qualify row_number() over (partition by query_id, cc
+                             order by sim desc, cand_id asc) = 1
+), crossc as (
+  select * from div where cc <> qc
+), ranked as (
+  select query_id, cand_id, sim,
+         row_number() over (partition by query_id
+                            order by sim desc, cand_id asc) as pick,
+         count(*) over (partition by query_id) as n
+  from crossc
+)
+select query_id, cand_id, sim, pick from ranked
+where pick <= case when least(n, {_TS_AMOUNT}) = 1 then 1
+                   when least(n, {_TS_AMOUNT}) % 2 = 1
+                        then least(n, {_TS_AMOUNT}) // 2 + 1
+                   else least(n, {_TS_AMOUNT}) // 2 end
+"""
+
+
+# --------------------------------------------------------------------------
 # Spark-private operators (no SQL oracle — driver records rows-only checks)
 
 
@@ -1281,6 +1413,10 @@ REGISTRY: dict[str, tuple] = {
     "wordcooc_feature": (q_wordcooc_feature, SQL_WORDCOOC_FEATURE),
     "class_ratio": (q_class_ratio, SQL_CLASS_RATIO),
     "hard_random_split": (q_hard_random_split, SQL_HARD_RANDOM_SPLIT),
+    # training-set construction stage
+    "training_subselect": (q_training_subselect, SQL_TRAINING_SUBSELECT),
+    "training_pair_swap": (q_training_pair_swap, SQL_TRAINING_PAIR_SWAP),
+    "training_neg_knn": (q_training_neg_knn, SQL_TRAINING_NEG_KNN),
     # ER pipeline over documents-as-corpus
     "er_blocking_pairs": (q_er_blocking_pairs, SQL_ER_BLOCKING_PAIRS),
     # Spark-private (no SQL equivalent → rows-only driver check)
