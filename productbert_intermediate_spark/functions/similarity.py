@@ -87,6 +87,79 @@ def jaro_winkler(a: Column, b: Column) -> Column:
     return jaro_winkler_udf(a, b)
 
 
+# ------------------------------------------- Magellan feature family (P13)
+# The reference's baseline featurizer auto-generates attribute-correspondence
+# features via py_entitymatching (run_magellan.py:148-160); beyond the
+# jaccard/levenshtein/jaro-winkler/cosine family implemented elsewhere in
+# this module, that set includes monge-elkan, needleman-wunsch, exact-match
+# and numeric abs-norm features, implemented here with py_stringmatching's
+# published semantics.
+
+
+def monge_elkan_py(a: str | None, b: str | None) -> float:
+    """Monge-Elkan with Jaro-Winkler inner similarity (py_stringmatching
+    default): mean over tokens of a of the best match in b."""
+    if not a or not b:
+        return 0.0
+    ta, tb = a.split(), b.split()
+    if not ta or not tb:
+        return 0.0
+    total = 0.0
+    for x in ta:
+        total += max(jaro_winkler_py(x, y) for y in tb)
+    return total / len(ta)
+
+
+def needleman_wunsch_py(a: str | None, b: str | None, gap_cost: float = 1.0) -> float:
+    """Global-alignment raw score (py_stringmatching NeedlemanWunsch:
+    char-identity similarity, linear gap cost). O(|a|·|b|) DP."""
+    if a is None or b is None:
+        return 0.0
+    n, m = len(a), len(b)
+    prev = [-gap_cost * j for j in range(m + 1)]
+    for i in range(1, n + 1):
+        cur = [-gap_cost * i] + [0.0] * m
+        ai = a[i - 1]
+        for j in range(1, m + 1):
+            match = prev[j - 1] + (1.0 if ai == b[j - 1] else 0.0)
+            cur[j] = max(match, prev[j] - gap_cost, cur[j - 1] - gap_cost)
+        prev = cur
+    return prev[m]
+
+
+@pandas_udf(DoubleType())
+def monge_elkan_udf(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover
+    return pd.Series(
+        [monge_elkan_py(x, y) for x, y in zip(a.tolist(), b.tolist())],
+        dtype="float64",
+    )
+
+
+@pandas_udf(DoubleType())
+def needleman_wunsch_udf(a: pd.Series, b: pd.Series) -> pd.Series:  # pragma: no cover
+    return pd.Series(
+        [needleman_wunsch_py(x, y) for x, y in zip(a.tolist(), b.tolist())],
+        dtype="float64",
+    )
+
+
+def exact_match(a: Column, b: Column) -> Column:
+    """1.0/0.0 equality feature; NULL on either side → NULL (Magellan emits
+    NaN for missing, later fillna(-1) — P6 handles the fill)."""
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        (a == b).cast("double")
+    )
+
+
+def abs_norm(a: Column, b: Column) -> Column:
+    """Numeric absolute-norm feature: 1 - |a-b| / max(|a|,|b|); 0-safe,
+    NULL-propagating (py_entitymatching's anm correspondence)."""
+    denom = F.greatest(F.abs(a), F.abs(b))
+    return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(denom == 0, F.lit(1.0)).otherwise(1.0 - F.abs(a - b) / denom)
+    )
+
+
 # ------------------------------------------------------- JVM-side similarities
 
 

@@ -39,6 +39,69 @@ def prec_rec_f1(counts: dict[str, int]) -> dict[str, float | None]:
     return {"precision": precision, "recall": recall, "f1": f1}
 
 
+class MetricTracker:
+    """Running mean per metric key across actions (SURVEY §2.4 A8).
+
+    The reference accumulates (total, count, average) per metric key over
+    training batches (/root/reference/src/productbert/utils/util.py:74-98).
+    The Spark analog rides on ``DataFrame.observe``: ``attach`` registers
+    sum/count aggregates that are computed DURING the df's next action — a
+    stage's metrics cost zero extra jobs — and ``harvest`` folds them into
+    the running totals. ``update``/``avg``/``result`` mirror the reference
+    API for driver-side scalars.
+    """
+
+    def __init__(self, *keys: str) -> None:
+        self._totals: dict[str, float] = {k: 0.0 for k in keys}
+        self._counts: dict[str, int] = {k: 0 for k in keys}
+        self._pending: list = []
+
+    def _ensure(self, key: str) -> None:
+        self._totals.setdefault(key, 0.0)
+        self._counts.setdefault(key, 0)
+
+    def update(self, key: str, value: float, n: int = 1) -> None:
+        self._ensure(key)
+        self._totals[key] += float(value) * n
+        self._counts[key] += n
+
+    def attach(self, df: DataFrame, **metrics) -> DataFrame:
+        """Register per-key value Columns; returns the observed DataFrame.
+
+        Each key contributes sum(value) and count(value) when the returned
+        df is next materialized. Call ``harvest()`` after that action.
+        """
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        aggs = []
+        for key, col in metrics.items():
+            self._ensure(key)
+            aggs.append(F.sum(col).alias(f"{key}__sum"))
+            aggs.append(F.count(col).alias(f"{key}__n"))
+        self._pending.append(obs)
+        return df.observe(obs, *aggs)
+
+    def harvest(self) -> None:
+        """Fold every completed observation into the running totals."""
+        for obs in self._pending:
+            got = obs.get  # blocks until the observed df's action completed
+            for name, val in got.items():
+                key, kind = name.rsplit("__", 1)
+                if kind == "sum":
+                    self._totals[key] += float(val or 0.0)
+                else:
+                    self._counts[key] += int(val or 0)
+        self._pending = []
+
+    def avg(self, key: str) -> float | None:
+        n = self._counts.get(key, 0)
+        return self._totals[key] / n if n else None
+
+    def result(self) -> dict[str, float | None]:
+        return {k: self.avg(k) for k in self._totals}
+
+
 def evaluate_pairwise(
     entities: DataFrame, labeled_pairs: DataFrame
 ) -> dict[str, float | int | None]:

@@ -1172,6 +1172,63 @@ select o_custkey, o_orderkey, 'random' as bucket from (
 
 
 # --------------------------------------------------------------------------
+# P13 — Magellan correspondence features (SQL-expressible subset: exact
+# match, numeric abs-norm, levenshtein similarity; monge-elkan and
+# needleman-wunsch are golden-tested pandas UDFs in tests/test_similarity_
+# features.py since no SQL engine ships them)
+
+
+def q_magellan_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.similarity import abs_norm, exact_match, levenshtein_norm
+
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_size").cast("double").alias("size_a"),
+    )
+    b = part.select(
+        (F.col("p_partkey") - 1).alias("k"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_size").cast("double").alias("size_b"),
+    )
+    return a.join(b, "k").select(
+        F.col("k").alias("p_partkey"),
+        exact_match(F.col("brand_a"), F.col("brand_b")).alias("brand_exact"),
+        abs_norm(F.col("size_a"), F.col("size_b")).alias("size_anm"),
+        levenshtein_norm(F.lower("name_a"), F.lower("name_b")).alias("name_lev_sim"),
+    )
+
+
+SQL_MAGELLAN_FEATURES = """
+with a as (
+  select p_partkey as k, p_name as name_a, p_brand as brand_a,
+         cast(p_size as double) as size_a
+  from part
+), b as (
+  select p_partkey - 1 as k, p_name as name_b, p_brand as brand_b,
+         cast(p_size as double) as size_b
+  from part
+)
+select a.k as p_partkey,
+       case when brand_a is null or brand_b is null then null
+            else cast(brand_a = brand_b as double) end as brand_exact,
+       case when size_a is null or size_b is null then null
+            when greatest(abs(size_a), abs(size_b)) = 0 then 1.0
+            else 1.0 - abs(size_a - size_b) / greatest(abs(size_a), abs(size_b))
+       end as size_anm,
+       case when greatest(length(lower(name_a)), length(lower(name_b))) = 0 then 1.0
+            else 1.0 - levenshtein(lower(name_a), lower(name_b))
+                       / cast(greatest(length(lower(name_a)),
+                                       length(lower(name_b))) as double)
+       end as name_lev_sim
+from a join b on a.k = b.k
+"""
+
+
+# --------------------------------------------------------------------------
 # Training-set construction operators (SURVEY §2.3 J6, §2.5 W3/W7) — the
 # reference's negative-knn filter chain, hard/random split arithmetic, and
 # seeded left/right swap, each against a full SQL oracle.
@@ -1413,6 +1470,7 @@ REGISTRY: dict[str, tuple] = {
     "wordcooc_feature": (q_wordcooc_feature, SQL_WORDCOOC_FEATURE),
     "class_ratio": (q_class_ratio, SQL_CLASS_RATIO),
     "hard_random_split": (q_hard_random_split, SQL_HARD_RANDOM_SPLIT),
+    "magellan_features": (q_magellan_features, SQL_MAGELLAN_FEATURES),
     # training-set construction stage
     "training_subselect": (q_training_subselect, SQL_TRAINING_SUBSELECT),
     "training_pair_swap": (q_training_pair_swap, SQL_TRAINING_PAIR_SWAP),

@@ -128,6 +128,27 @@ class StageCatalog:
         """Iceberg equivalent: spark.read.format('iceberg').load(...)."""
         return self.spark.read.parquet(self.path(name))
 
+    # ------------------------------------------------------------ CSV reports
+
+    def write_csv_report(
+        self, name: str, df: DataFrame, compression: str | None = "gzip"
+    ) -> str:
+        """Small human/downstream-facing reports as CSV (SURVEY §2.1 S3) —
+        the reference's training-set-id and prediction CSVs
+        (process_intermediate_training_sets.py:139, test.py:87-93). Reports
+        are driver-sized by contract, so one output file is fine; big data
+        stays in parquet stage tables.
+        """
+        target = self.path(f"{name}_csv")
+        writer = df.coalesce(1).write.mode("overwrite").option("header", True)
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.csv(target)
+        return target
+
+    def read_csv_report(self, name: str) -> DataFrame:
+        return self.spark.read.option("header", True).csv(self.path(f"{name}_csv"))
+
     def write_or_resume(
         self,
         name: str,

@@ -1,0 +1,104 @@
+"""A8 observe-based metric tracker, S3 CSV report sink, Magellan features."""
+
+from pyspark.sql import functions as F
+
+from productbert_intermediate_spark.functions.similarity import (
+    abs_norm,
+    exact_match,
+    jaro_winkler_py,
+    monge_elkan_py,
+    monge_elkan_udf,
+    needleman_wunsch_py,
+    needleman_wunsch_udf,
+)
+from productbert_intermediate_spark.operators.metrics_ops import MetricTracker
+from productbert_intermediate_spark.sources.catalog import StageCatalog
+
+
+# ------------------------------------------------------------- A8 tracker
+
+
+def test_metric_tracker_observe_costs_no_extra_job(spark):
+    tracker = MetricTracker("score")
+    df = spark.createDataFrame([(0.2,), (0.4,), (0.9,)], "score double")
+    observed = tracker.attach(df, score=F.col("score"))
+    assert observed.count() == 3  # the only action
+    tracker.harvest()
+    assert abs(tracker.avg("score") - 0.5) < 1e-12
+
+
+def test_metric_tracker_running_mean_across_batches(spark):
+    tracker = MetricTracker("loss")
+    for batch in ([1.0, 3.0], [5.0]):
+        df = spark.createDataFrame([(v,) for v in batch], "loss double")
+        tracker.attach(df, loss=F.col("loss")).count()
+        tracker.harvest()
+    # reference semantics: total / count over everything seen (util.py:88-95)
+    assert tracker.avg("loss") == 3.0
+    assert tracker.result() == {"loss": 3.0}
+
+
+def test_metric_tracker_driver_side_update():
+    t = MetricTracker("f1")
+    t.update("f1", 0.5, n=2)
+    t.update("f1", 1.0, n=2)
+    assert t.avg("f1") == 0.75
+    assert t.avg("missing") is None if "missing" in t.result() else True
+
+
+# ------------------------------------------------------------ S3 CSV sink
+
+
+def test_csv_report_roundtrip(spark, tmp_path):
+    cat = StageCatalog(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [("1#2", 1), ("3#4", 0)], "pair_id string, label int"
+    )
+    cat.write_csv_report("training_ids", df)
+    back = cat.read_csv_report("training_ids")
+    got = {(r["pair_id"], int(r["label"])) for r in back.collect()}
+    assert got == {("1#2", 1), ("3#4", 0)}
+
+
+# ------------------------------------------------- Magellan feature family
+
+
+def test_monge_elkan_hand_values():
+    assert monge_elkan_py("good time", "good time") == 1.0
+    # each token of a takes its best JW match in b
+    expect = (jaro_winkler_py("aa", "aa") + max(
+        jaro_winkler_py("bb", "aa"), jaro_winkler_py("bb", "cc")
+    )) / 2
+    assert abs(monge_elkan_py("aa bb", "aa cc") - expect) < 1e-12
+    assert monge_elkan_py(None, "x") == 0.0
+    assert monge_elkan_py("", "") == 0.0
+
+
+def test_needleman_wunsch_hand_values():
+    assert needleman_wunsch_py("", "") == 0.0
+    assert needleman_wunsch_py("a", "a") == 1.0
+    assert needleman_wunsch_py("ab", "ab") == 2.0
+    assert needleman_wunsch_py("a", "b") == 0.0
+    # py_stringmatching documented example
+    assert needleman_wunsch_py("dva", "deeva") == 1.0
+    # symmetric
+    assert needleman_wunsch_py("abcd", "xbcy") == needleman_wunsch_py("xbcy", "abcd")
+
+
+def test_magellan_udfs_and_columns(spark):
+    df = spark.createDataFrame(
+        [("good time", "good time", "A", "A", 10.0, 8.0),
+         ("aa bb", "aa cc", "A", "B", 0.0, 0.0),
+         (None, "x", None, "B", None, 1.0)],
+        "a string, b string, ba string, bb string, na double, nb double",
+    )
+    rows = df.select(
+        monge_elkan_udf("a", "b").alias("me"),
+        needleman_wunsch_udf("a", "b").alias("nw"),
+        exact_match(F.col("ba"), F.col("bb")).alias("em"),
+        abs_norm(F.col("na"), F.col("nb")).alias("anm"),
+    ).collect()
+    assert rows[0]["me"] == 1.0 and rows[0]["em"] == 1.0
+    assert abs(rows[0]["anm"] - 0.8) < 1e-12
+    assert rows[1]["em"] == 0.0 and rows[1]["anm"] == 1.0
+    assert rows[2]["em"] is None and rows[2]["anm"] is None
