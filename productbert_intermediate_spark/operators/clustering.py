@@ -90,9 +90,14 @@ def connected_components(
             )
         )
         cur = _small_star(cur)
-        # small_star output is already (u > v) oriented
+        # small_star output is already (u > v) oriented.
+        # LAZY checkpoint: the fingerprint aggregation right below is the
+        # round's only action and materializes the checkpoint as a side
+        # effect — one job per round instead of eager-checkpoint + agg (two).
+        # Convergence detection still costs one driver round-trip; that
+        # per-round latency is the algorithm's O(log n) serial floor.
         if checkpoint_each_round:
-            cur = cur.localCheckpoint(eager=True)
+            cur = cur.localCheckpoint(eager=False)
         fp = _fingerprint(cur)
         if fp == prev_fp:
             break

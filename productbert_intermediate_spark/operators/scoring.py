@@ -98,23 +98,27 @@ def hydrate_pairs(
     offers: DataFrame,
     broadcast_offers: bool = False,
     prepared: bool = False,
+    attrs: tuple[str, ...] = PAIR_ATTRS,
+    prepared_cols: tuple[str, ...] = ("_btext", "_toks", "_dtoks"),
 ) -> DataFrame:
     """(id_l, id_r) → + {attr}_left/{attr}_right columns (J1, two equi-joins).
 
     prepared=True also carries the per-offer scoring columns from
-    prepare_offers_for_scoring through both joins.
+    prepare_offers_for_scoring through both joins. ``attrs``/``prepared_cols``
+    narrow the hydrated columns — long text fields a caller doesn't need
+    should never transit the join (or the broadcast) at all.
     """
-    extra = ("_btext", "_toks", "_dtoks") if prepared else ()
-    side = offers.select("id", *PAIR_ATTRS, *extra)
+    extra = prepared_cols if prepared else ()
+    side = offers.select("id", *attrs, *extra)
     if broadcast_offers:
         side = F.broadcast(side)
     left = side.select(
         F.col("id").alias("id_l"),
-        *[F.col(a).alias(f"{a}_left") for a in (*PAIR_ATTRS, *extra)],
+        *[F.col(a).alias(f"{a}_left") for a in (*attrs, *extra)],
     )
     right = side.select(
         F.col("id").alias("id_r"),
-        *[F.col(a).alias(f"{a}_right") for a in (*PAIR_ATTRS, *extra)],
+        *[F.col(a).alias(f"{a}_right") for a in (*attrs, *extra)],
     )
     return pairs.join(left, "id_l").join(right, "id_r")
 
@@ -317,7 +321,17 @@ def build_pair_features_narrow(
     # side and everything fused after it.
     pairs = pairs.repartition(n_parts, "id_l")
     prepped = prepare_offers_for_scoring(offers)
-    hydrated = hydrate_pairs(pairs, prepped, broadcast_offers, prepared=True)
+    # hydrate ONLY what the feature projection reads: title/brand/price and
+    # the precomputed token sets — description/specTableContent (the long
+    # fields) and, on the id-keyed path, _btext never enter the join or the
+    # broadcast. This is most of the broadcast's bytes and the dominant
+    # non-scaling (driver-serial) cost of a scoring run.
+    attrs = ("title", "brand", "price")
+    pcols = ("_btext", "_toks", "_dtoks") if keep_texts else ("_toks", "_dtoks")
+    hydrated = hydrate_pairs(
+        pairs, prepped, broadcast_offers, prepared=True,
+        attrs=attrs, prepared_cols=pcols,
+    )
 
     title_l = F.lower(F.coalesce(F.col("title_left"), F.lit("")))
     title_r = F.lower(F.coalesce(F.col("title_right"), F.lit("")))
@@ -326,6 +340,16 @@ def build_pair_features_narrow(
     pl = F.when(price_l.rlike(r"^[0-9]+(\.[0-9]+)?$"), price_l.cast("double"))
     pr = F.when(price_r.rlike(r"^[0-9]+(\.[0-9]+)?$"), price_r.cast("double"))
     passthrough = [c for c in pairs.columns if c not in ("id_l", "id_r")]
+    text_cols = (
+        [
+            F.length(title_l).alias("_tl_l"),
+            F.length(title_r).alias("_tl_r"),
+            F.col("_btext_left").alias("_b_l"),
+            F.col("_btext_right").alias("_b_r"),
+        ]
+        if keep_texts
+        else []
+    )
     narrow = hydrated.select(
         "id_l",
         "id_r",
@@ -347,14 +371,8 @@ def build_pair_features_narrow(
             1.0 - F.least(F.lit(1.0), F.abs(pl - pr) / F.greatest(pl, pr, F.lit(1e-9)))
         )
         .alias("price_sim"),
-        F.length(title_l).alias("_tl_l"),
-        F.length(title_r).alias("_tl_r"),
-        F.col("_btext_left").alias("_b_l"),
-        F.col("_btext_right").alias("_b_r"),
+        *text_cols,
     )
-
-    if not keep_texts:
-        narrow = narrow.drop("_b_l", "_b_r", "_tl_l", "_tl_r")
     # Deliberate exchange between the JVM feature map and the Python stage:
     # fusing them starves the Python workers (a single in-task producer feeds
     # each worker at join+features speed, ~50% duty cycle measured). Without

@@ -84,12 +84,14 @@ def run_pipeline(
     )
     report["stages"]["candidate_pairs"] = {"resumed": resumed}
 
+    n_offers = (cat.latest_entry("offers") or {}).get("rows")
+
     k_scored = _params_key(parent=k_pairs, weights=weights)
     scored, resumed = cat.write_or_resume(
         "scored_pairs",
-        lambda: S.score_candidates(candidates, offers, weights=weights).select(
-            "id_l", "id_r", *S.FEATURES, "logit", "score", "match"
-        ),
+        lambda: S.score_candidates(
+            candidates, offers, weights=weights, n_offers=n_offers
+        ).select("id_l", "id_r", *S.FEATURES, "logit", "score", "match"),
         params_key=k_scored,
         force=force,
     )
@@ -128,10 +130,13 @@ def run_pipeline(
         report["stages"]["training_pairs"] = {"resumed": resumed}
         report.setdefault("counts", {})["training_pairs"] = training.count()
 
+    # stage row counts come from the checkpoint manifest (already computed
+    # during each write) — no re-count jobs; only the two derived figures
+    # (match edges, distinct entities) run aggregations.
     report["counts"] = {
         **report.get("counts", {}),
-        "offers": offers.count(),
-        "candidate_pairs": candidates.count(),
+        "offers": n_offers,
+        "candidate_pairs": (cat.latest_entry("candidate_pairs") or {}).get("rows"),
         "match_edges": scored.where("match").count(),
         "entities": entities.select("entity_id").distinct().count(),
     }

@@ -51,26 +51,33 @@ def main() -> None:
             pairs, offers, text_index_broadcast=text_index
         )
 
-    # warm-up (codegen compile, python workers, shuffle service) then one
-    # measured run — throughput, not cold-start, is the metric.
-    run_score().write.format("noop").mode("overwrite").save()
-    t0 = time.time()
-    run_score().write.format("noop").mode("overwrite").save()
-    score_sec = time.time() - t0
+    def median3(fn):
+        """Warm-up once, then median of 3 measured runs (this box is a
+        shared sandbox with ±20% run-to-run variance; single measurements
+        regularly invert a 4× core ratio)."""
+        fn()
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return sorted(times)[1]
+
+    score_sec = median3(
+        lambda: run_score().write.format("noop").mode("overwrite").save()
+    )
 
     # scorer-STAGE throughput: pairwise scoring over materialized candidate
     # features (the north-rule unit, candidate-pairs-scored/sec)
     narrow = S.build_pair_features_narrow(pairs, offers, broadcast_offers=True)
     narrow.cache()
     narrow.count()
-    S.apply_pair_scorer(narrow, text_index).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    t0 = time.time()
-    S.apply_pair_scorer(narrow, text_index).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    stage_sec = time.time() - t0
+    stage_sec = median3(
+        lambda: S.apply_pair_scorer(narrow, text_index)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     narrow.unpersist()
 
     scored = run_score()
