@@ -109,18 +109,26 @@ def hydrate_pairs(
     should never transit the join (or the broadcast) at all.
     """
     extra = prepared_cols if prepared else ()
+    # Both joins consume the SAME side subplan; the per-side renames happen
+    # AFTER the join, so the two exchanges canonicalize equal and Spark's
+    # ReuseExchange materializes the side ONCE (one driver-serial broadcast
+    # build — or one shuffle write — instead of two). Renaming before the
+    # join defeats this: the exchanges differ and both run.
     side = offers.select("id", *attrs, *extra)
+    lhs = side.alias("_hyd_l")
+    rhs = side.alias("_hyd_r")
     if broadcast_offers:
-        side = F.broadcast(side)
-    left = side.select(
-        F.col("id").alias("id_l"),
-        *[F.col(a).alias(f"{a}_left") for a in (*attrs, *extra)],
+        lhs, rhs = F.broadcast(lhs), F.broadcast(rhs)
+    p = pairs.alias("_hyd_p")
+    return (
+        p.join(lhs, F.col("_hyd_p.id_l") == F.col("_hyd_l.id"))
+        .join(rhs, F.col("_hyd_p.id_r") == F.col("_hyd_r.id"))
+        .select(
+            F.col("_hyd_p.*"),
+            *[F.col(f"_hyd_l.{a}").alias(f"{a}_left") for a in (*attrs, *extra)],
+            *[F.col(f"_hyd_r.{a}").alias(f"{a}_right") for a in (*attrs, *extra)],
+        )
     )
-    right = side.select(
-        F.col("id").alias("id_r"),
-        *[F.col(a).alias(f"{a}_right") for a in (*attrs, *extra)],
-    )
-    return pairs.join(left, "id_l").join(right, "id_r")
 
 
 def build_sequence(side: str):

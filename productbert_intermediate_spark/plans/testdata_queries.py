@@ -1364,6 +1364,101 @@ where pick <= case when least(n, {_TS_AMOUNT}) = 1 then 1
 # Spark-private operators (no SQL oracle — driver records rows-only checks)
 
 
+def q_fk_surrogate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — the reference's magellan FK surrogate-id merge-assert shape.
+
+    Mirrors process_to_magellan.py:42-58: dedupe a side table on its key,
+    assign dense surrogate ids, left-merge back onto the fact table, and
+    assert the row count is unchanged (the many-to-one FK guarantee the
+    reference enforces with `assert len(data_df) == len_assert`). Surrogate
+    ids are row_number over the SORTED distinct key — deterministic, unlike
+    monotonically_increasing_id. The global sort touches only the dim
+    (distinct keys), never the fact table, so it stays cheap at scale.
+    """
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = (
+        orders.select("o_custkey")
+        .distinct()
+        .select(
+            "o_custkey",
+            (
+                F.row_number().over(Window.orderBy("o_custkey")) - 1
+            ).cast("long").alias("mag_id"),
+        )
+    )
+    out = orders.select("o_orderkey", "o_custkey").join(
+        F.broadcast(dim), "o_custkey", "left"
+    )
+    # the reference's len-assert, Spark-native: an observe() metric counts
+    # orphan FKs (null surrogate) without an extra job; a many-to-one
+    # violation would instead show up as fact-row inflation in row counts.
+    out = out.observe(
+        "fk_assert", F.sum(F.col("mag_id").isNull().cast("long")).alias("orphans")
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", F.col("mag_id").alias("cust_mag_id")
+    )
+
+
+SQL_FK_SURROGATE_JOIN = """
+with dim as (
+  select o_custkey,
+         cast(row_number() over (order by o_custkey) - 1 as bigint) as mag_id
+  from (select distinct o_custkey from orders)
+)
+select o.o_orderkey, o.o_custkey, d.mag_id as cust_mag_id
+from orders o left join dim d on o.o_custkey = d.o_custkey
+"""
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-star/small-star transitive closure vs a closed-form oracle.
+
+    Edges: doc i — doc i+1 whenever consecutive doc_ids share a source.
+    Components are therefore maximal runs of consecutive same-source ids —
+    long CHAINS, the adversarial case for connected components (each
+    large-star round only halves chain diameter; cliques converge in one).
+    The oracle computes the same components without recursion via
+    gaps-and-islands: within a source, doc_id - row_number() is constant
+    exactly on runs of consecutive ids, and entity_id = min id of the run —
+    the same min-member labeling as operators/clustering.py.
+    """
+    from ..operators.clustering import assign_entities
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    a = docs.alias("a")
+    b = docs.alias("b")
+    edges = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("b.source") == F.col("a.source")),
+    ).select(
+        F.col("a.doc_id").alias("id_l"), F.col("b.doc_id").alias("id_r")
+    )
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    return (
+        assign_entities(nodes, edges)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.col("entity_id").cast("long").alias("entity_id"),
+        )
+    )
+
+
+SQL_CONNECTED_COMPONENTS = """
+with r as (
+  select doc_id, source,
+         doc_id - row_number() over (partition by source order by doc_id) as grp
+  from documents
+)
+select cast(doc_id as bigint) as id,
+       cast(min(doc_id) over (partition by source, grp) as bigint) as entity_id
+from r
+"""
+
+
 def q_porter_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.stemmer import stem
 
@@ -1404,7 +1499,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # global Window. Ranks come from sorting the k survivors in one array;
     # sort key is (-cos, vec_id) — double negation is exact, so the order is
     # identical to desc(cos), asc(vec_id).
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
     query = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     joined = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(query))
     dot = F.aggregate(
@@ -1429,6 +1526,31 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.posexplode("a").alias("p", "s"))
         .select(F.col("s.vec_id").alias("vec_id"), (F.col("p") + 1).alias("rank"))
     )
+
+
+# Oracle mirrors the Spark arithmetic exactly: float32 inputs widened to
+# double BEFORE any multiply, sequential-fold dot products, sqrt norms.
+# Output carries only integer (vec_id, rank) — float noise can only matter
+# at a rank-boundary tie, which the (cos desc, vec_id) tiebreak resolves.
+SQL_ANN_TOPK = """
+with q as (
+  select cast(embedding as double[]) as qvec from embeddings where vec_id = 0
+),
+c as (
+  select e.vec_id,
+         list_dot_product(cast(e.embedding as double[]), q.qvec)
+         / nullif(
+             sqrt(list_dot_product(cast(e.embedding as double[]),
+                                   cast(e.embedding as double[])))
+             * sqrt(list_dot_product(q.qvec, q.qvec)), 0) as cos
+  from embeddings e, q
+  where e.vec_id <> 0
+)
+select vec_id, cast(row_number() over (order by cos desc, vec_id) as int) as rank
+from c
+order by cos desc, vec_id
+limit 10
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1477,9 +1599,11 @@ REGISTRY: dict[str, tuple] = {
     "training_neg_knn": (q_training_neg_knn, SQL_TRAINING_NEG_KNN),
     # ER pipeline over documents-as-corpus
     "er_blocking_pairs": (q_er_blocking_pairs, SQL_ER_BLOCKING_PAIRS),
+    "fk_surrogate_join": (q_fk_surrogate_join, SQL_FK_SURROGATE_JOIN),
+    "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     # Spark-private (no SQL equivalent → rows-only driver check)
     "porter_stem": (q_porter_stem, None),
     "er_score_pairs": (q_er_score_pairs, None),
     "er_entities": (q_er_entities, None),
-    "ann_topk": (q_ann_topk, None),
 }

@@ -27,10 +27,10 @@ def norm_cell(v) -> str:
 
     if v is None:
         return "NULL"
+    # No %.6g smoothing — repr exposes the int-vs-float render artifacts the
+    # driver's hash catches (same bar as tests/test_driver_contract.py).
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
+        return "NaN" if math.isnan(v) else repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)

@@ -90,3 +90,33 @@ def test_fit_calibration_deterministic():
     logit = w1["bias"] + X.to_numpy() @ np.array([w1[f] for f in S.FEATURES])
     pred = (1 / (1 + np.exp(-logit)) > 0.5).astype(int)
     assert (pred == y).mean() > 0.9
+
+
+def test_hydration_broadcast_exchange_is_reused(spark, fixtures_dir):
+    """Both hydration sides must come from ONE materialized exchange.
+
+    The side subplan is identical for the left and right joins (renames
+    happen after the join), so the exchange-reuse rule replaces the second
+    BroadcastExchange with a ReusedExchange — one driver-serial broadcast
+    build per scoring run instead of two. Asserted with AQE off: the static
+    ReuseExchangeAndSubquery rule applies iff the two subplans canonicalize
+    equal — the exact property the hydrate restructure establishes — and is
+    deterministic, while AQE applies the same reuse at runtime but its
+    stage-creation order makes the final-plan string timing-dependent."""
+    offers = extract_offers(
+        spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+    ).where("id is not null")
+    ids = [r[0] for r in offers.select("id").limit(20).collect()]
+    pairs = [(ids[i], ids[i + 1]) for i in range(0, len(ids) - 1, 2)]
+    pairs_df = spark.createDataFrame(pairs, "id_l long, id_r long")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        hydrated = S.hydrate_pairs(
+            pairs_df, S.prepare_offers_for_scoring(offers),
+            broadcast_offers=True, prepared=True,
+        )
+        assert hydrated.count() == len(pairs)
+        plan = hydrated._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert "ReusedExchange" in plan, plan
