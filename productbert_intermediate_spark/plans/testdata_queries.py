@@ -1364,6 +1364,36 @@ where pick <= case when least(n, {_TS_AMOUNT}) = 1 then 1
 # Spark-private operators (no SQL oracle — driver records rows-only checks)
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID over documents (functions/langid.py).
+
+    Map-only JVM projection (lower+split+array_intersect+when-chain); the
+    oracle is the byte-identical classifier rendered as DuckDB SQL from the
+    same STOPWORD_PROFILES constant — one source of truth for both engines.
+    """
+    from ..functions.langid import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    return docs.select("doc_id", lang_id(toks).alias("pred_lang"))
+
+
+def _lang_id_sql() -> str:
+    from ..functions.langid import lang_id_sql
+
+    case_expr, mx = lang_id_sql("toks")
+    return f"""
+with t as (
+  select doc_id, string_split(lower(text), ' ') as toks from documents
+),
+s as (select doc_id, {mx} as _mx, toks from t)
+select doc_id, {case_expr} as pred_lang from s
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+
 def q_fk_surrogate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 — the reference's magellan FK surrogate-id merge-assert shape.
 
@@ -1600,6 +1630,7 @@ REGISTRY: dict[str, tuple] = {
     # ER pipeline over documents-as-corpus
     "er_blocking_pairs": (q_er_blocking_pairs, SQL_ER_BLOCKING_PAIRS),
     "fk_surrogate_join": (q_fk_surrogate_join, SQL_FK_SURROGATE_JOIN),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     # Spark-private (no SQL equivalent → rows-only driver check)
