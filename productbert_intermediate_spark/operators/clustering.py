@@ -82,6 +82,14 @@ def connected_components(
     cur = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     )
+    if checkpoint_each_round:
+        # Materialize the canonical edge set ONCE before iterating: the
+        # round-0 star plans reference their input in several branches
+        # (sym-union + groupBy + join), and without this cut each branch
+        # re-evaluates the upstream edge-producing plan (e.g. the scorer)
+        # — measured 18.3s -> 4.8s for round 0 on a 172k-edge graph whose
+        # edges came from a cached-but-wide scoring plan.
+        cur = cur.localCheckpoint(eager=True)
     prev_fp = None
     for _ in range(max_iterations):
         cur = _canonical(
