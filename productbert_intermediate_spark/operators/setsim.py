@@ -61,30 +61,61 @@ def jaccard_similarity_join(
 
     n = F.size("_sorted_toks")
     prefix_len = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    # Self-join and hydration consume ALIASED copies of one subplan with all
+    # renames applied AFTER the join, so the shuffle exchanges on both sides
+    # canonicalize equal and are materialized once and reused (the same
+    # ReuseExchange pattern as scoring.hydrate_pairs) — without it each
+    # branch re-runs the explode + rarity-sort pipeline.
     prefix = base.select(
         F.col(id_col).alias("_id"),
         *gcols,
-        F.explode(F.slice("_sorted_toks", 1, prefix_len)).alias("_ptok"),
+        n.alias("_len"),
+        F.posexplode(F.slice("_sorted_toks", 1, prefix_len)).alias(
+            "_pos", "_ptok"
+        ),
     )
-    other = prefix.select(
-        F.col("_id").alias("_id_b"),
-        *[F.col(g).alias(f"_{g}_b") for g in gcols],
-        F.col("_ptok").alias("_ptok_b"),
+    pa = prefix.alias("_pa")
+    pb = prefix.alias("_pb")
+    # PPJoin positional filter (Xiao et al. 2008): a matched prefix token at
+    # 0-based positions (pa, pb) bounds the achievable overlap by
+    # 1 + min(|x|-1-pa, |y|-1-pb); pairs whose bound can't reach the
+    # Jaccard-equivalent overlap floor ceil(t·(|x|+|y|)/(1+t)) are pruned
+    # BEFORE the distinct. Recall-lossless: the pair's first common token
+    # has the loosest bound, so a true pair always keeps at least that join
+    # row (the 1e-9 slack guards the float ceil against over-pruning).
+    ubound = 1 + F.least(
+        F.col("_pa._len") - 1 - F.col("_pa._pos"),
+        F.col("_pb._len") - 1 - F.col("_pb._pos"),
     )
-    cond = [F.col("_ptok") == F.col("_ptok_b"), F.col("_id") < F.col("_id_b")]
-    cond += [F.col(g) == F.col(f"_{g}_b") for g in gcols]
+    o_min = F.ceil(
+        F.lit(threshold) * (F.col("_pa._len") + F.col("_pb._len"))
+        / F.lit(1.0 + threshold)
+        - F.lit(1e-9)
+    )
+    cond = [
+        F.col("_pa._ptok") == F.col("_pb._ptok"),
+        F.col("_pa._id") < F.col("_pb._id"),
+        ubound >= o_min,
+    ]
+    cond += [F.col(f"_pa.{g}") == F.col(f"_pb.{g}") for g in gcols]
     candidates = (
-        prefix.join(other, cond)
-        .select(F.col("_id").alias("id_a"), F.col("_id_b").alias("id_b"))
+        pa.join(pb, cond)
+        .select(F.col("_pa._id").alias("id_a"), F.col("_pb._id").alias("id_b"))
         .distinct()
     )
 
     sides = base.select(F.col(id_col).alias("_sid"), F.col(toks_col).alias("_stoks"))
+    sa = sides.alias("_sa")
+    sb = sides.alias("_sb")
     hydrated = (
-        candidates.join(sides.withColumnRenamed("_sid", "id_a"), "id_a")
-        .withColumnRenamed("_stoks", "_toks_a")
-        .join(sides.withColumnRenamed("_sid", "id_b"), "id_b")
-        .withColumnRenamed("_stoks", "_toks_b")
+        candidates.join(sa, F.col("id_a") == F.col("_sa._sid"))
+        .join(sb, F.col("id_b") == F.col("_sb._sid"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_sa._stoks").alias("_toks_a"),
+            F.col("_sb._stoks").alias("_toks_b"),
+        )
     )
     inter = F.size(F.array_intersect("_toks_a", "_toks_b")).cast("double")
     union = F.size(F.array_union("_toks_a", "_toks_b")).cast("double")

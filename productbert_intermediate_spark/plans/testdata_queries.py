@@ -579,8 +579,16 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks, lambda t: F.md5(F.encode(F.concat(t, F.lit(suffix)), "utf-8"))
         )
 
-    hashed = docs.where(F.length("text") > 0).select(
-        "doc_id", _digests("0").alias("_h0"), _digests("1").alias("_h1")
+    # Pin parallelism BEFORE the hash-heavy projection: a small parquet
+    # input arrives as one split, and Catalyst fuses the md5/shingle
+    # projection into the scan stage — serializing the only CPU-bound part
+    # of the query onto one task. The explicit exchange is O(input bytes),
+    # negligible next to the signature computation at any scale.
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    hashed = (
+        docs.where(F.length("text") > 0)
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", _digests("0").alias("_h0"), _digests("1").alias("_h1"))
     )
     def _mh_slice(s: int):
         start = 1 + 8 * (s % 4)
