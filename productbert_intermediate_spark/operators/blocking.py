@@ -243,6 +243,15 @@ def block_offers(
         )
     tokenized = build_title_for_ts(offers)
     pruned = prune_tokens_by_df(tokenized, min_df, max_df_frac)
+    if use_lsh:
+        # Two key-generation branches consume `pruned` with different
+        # projections before their first shuffles, so exchange reuse cannot
+        # apply — without a lineage cut each branch re-runs the tokenize +
+        # df-prune pipeline (explode + groupBy + join back over the corpus).
+        # One eager materialization, read twice. Bench-neutral at 20k pages
+        # (the pipeline is cheap there); at corpus scale one local-disk
+        # write beats re-running a corpus-wide shuffle pipeline per branch.
+        pruned = pruned.localCheckpoint(eager=True)
     keys = rare_token_keys(pruned, max_rare_df or max_block_size)
     if use_lsh:
         keys = keys.unionByName(minhash_band_keys(pruned, num_hashes, bands))
