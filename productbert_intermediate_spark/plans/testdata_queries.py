@@ -357,14 +357,13 @@ from embeddings
 
 
 def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from productbert_intermediate_spark.operators.ids import dense_ids
 
     docs = _t(spark, sf_dir, "documents")
-    return (
-        docs.select("source")
-        .distinct()
-        .withColumn("code", F.dense_rank().over(Window.orderBy("source")) - 1)
-    )
+    # dense_rank over distinct values == row_number over distinct values;
+    # dense_ids avoids the no-partition window (harmless on a 20-entry label
+    # dictionary, but this keeps every id-assignment on the scale-safe path).
+    return dense_ids(docs.select("source").distinct(), "source", out_col="code")
 
 
 SQL_LABEL_ENCODE = """
@@ -1409,26 +1408,22 @@ def q_fk_surrogate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign dense surrogate ids, left-merge back onto the fact table, and
     assert the row count is unchanged (the many-to-one FK guarantee the
     reference enforces with `assert len(data_df) == len_assert`). Surrogate
-    ids are row_number over the SORTED distinct key — deterministic, unlike
-    monotonically_increasing_id. The global sort touches only the dim
-    (distinct keys), never the fact table, so it stays cheap at scale.
+    ids are the 0-based rank of the SORTED distinct key — deterministic,
+    unlike monotonically_increasing_id — assigned by `dense_ids`, which
+    range-partitions the dim and offsets per-partition ranks instead of a
+    no-partition window: at 100 TB the distinct-key dim can hold 10^8 rows,
+    and a single-task global sort over it would be the stage bottleneck.
     """
-    from pyspark.sql import Window
+    from productbert_intermediate_spark.operators.ids import dense_ids
 
     orders = _t(spark, sf_dir, "orders")
-    dim = (
-        orders.select("o_custkey")
-        .distinct()
-        .select(
-            "o_custkey",
-            (
-                F.row_number().over(Window.orderBy("o_custkey")) - 1
-            ).cast("long").alias("mag_id"),
-        )
+    dim = dense_ids(
+        orders.select("o_custkey").distinct(), "o_custkey", out_col="mag_id"
     )
-    out = orders.select("o_orderkey", "o_custkey").join(
-        F.broadcast(dim), "o_custkey", "left"
-    )
+    # No forced broadcast: the dim is |distinct keys| rows and can exceed the
+    # broadcast limit at scale — AQE promotes the join to broadcast when it
+    # is actually small, and falls back to a key-partitioned shuffle when not.
+    out = orders.select("o_orderkey", "o_custkey").join(dim, "o_custkey", "left")
     # the reference's len-assert, Spark-native: an observe() metric counts
     # orphan FKs (null surrogate) without an extra job; a many-to-one
     # violation would instead show up as fact-row inflation in row counts.

@@ -102,3 +102,45 @@ def test_magellan_udfs_and_columns(spark):
     assert abs(rows[0]["anm"] - 0.8) < 1e-12
     assert rows[1]["em"] == 0.0 and rows[1]["anm"] == 1.0
     assert rows[2]["em"] is None and rows[2]["anm"] is None
+
+
+# --- dense_ids: scale-safe surrogate-id assignment ------------------------
+
+def test_dense_ids_matches_global_window_rank(spark):
+    from pyspark.sql import Window
+    from productbert_intermediate_spark.operators.ids import dense_ids
+
+    # Skewed, shuffled, multi-partition distinct keys (strings sort
+    # differently from their insertion order).
+    import random
+
+    rng = random.Random(7)
+    keys = [f"k{rng.randrange(10**6):06d}" for _ in range(5000)]
+    keys = list(dict.fromkeys(keys))
+    rng.shuffle(keys)
+    df = spark.createDataFrame([(k,) for k in keys], "key string").repartition(16)
+
+    got = {
+        r["key"]: r["dense_id"]
+        for r in dense_ids(df, "key", num_partitions=8).collect()
+    }
+    want = {
+        r["key"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("key")) - 1
+        ).collect()
+    }
+    assert got == want
+
+
+def test_dense_ids_single_partition_and_tiny(spark):
+    from productbert_intermediate_spark.operators.ids import dense_ids
+
+    df = spark.createDataFrame([(x,) for x in (30, 10, 20)], "key int")
+    rows = sorted(
+        dense_ids(df, "key", out_col="code", num_partitions=1).collect()
+    )
+    assert [(r["key"], r["code"]) for r in rows] == [(10, 0), (20, 1), (30, 2)]
+    # more partitions than rows
+    rows = sorted(dense_ids(df, "key", num_partitions=64).collect())
+    assert [r["dense_id"] for r in rows] == [0, 1, 2]
