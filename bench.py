@@ -62,10 +62,13 @@ def _bench_er_throughput(spark, n_pages: int) -> tuple[float, dict[str, float]]:
         write_fixtures(fx, n_pages=n_pages, seed=42)
 
     timings: dict[str, float] = {}
+    pages = spark.read.parquet(f"{fx}/pages.parquet")
+    offers = extract_offers(pages).where(F.col("id").isNotNull())
+    # Warm once (Python-UDF worker fan-out + parquet footer cache), then time
+    # the steady-state pass — same warm-then-time protocol as the headline
+    # queries, so stage timings are comparable across rounds.
+    _materialize(offers)
     t0 = time.time()
-    offers = extract_offers(spark.read.parquet(f"{fx}/pages.parquet")).where(
-        F.col("id").isNotNull()
-    )
     offers.cache()
     offers.count()
     timings["er_extract"] = time.time() - t0

@@ -25,8 +25,23 @@ from ..functions.text import ENGLISH_STOPWORDS
 # helpers
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read a testdata table; spread=True round-robins the rows across the
+    session's cores first.
+
+    The driver's parquet files are single-row-group, hence unsplittable: any
+    map-heavy expression chained onto the scan (shingling, per-token md5)
+    runs in ONE task regardless of cluster size. Compute-heavy queries opt
+    into one small repartition shuffle (the tables are <12 MB) to restore
+    the fan-out a multi-file production input gets for free. Only used where
+    results are per-row/per-pair deterministic, never for seeded sampling.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _md5(col):
@@ -707,7 +722,9 @@ _SIMHASH_BITS = 16
 
 
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    # map-only 16×md5-per-token fold fuses into the scan stage; spread the
+    # single-row-group local input so it doesn't serialize onto one task.
+    docs = _t(spark, sf_dir, "documents", spread=True)
     toks = F.array_distinct(F.split("text", " "))
     tok_md5 = F.transform(toks, lambda t: F.md5(F.encode(t, "utf-8")))
 

@@ -51,6 +51,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Local-mode scan fan-out: test/bench inputs are single small parquet
+        # files, and the default 4 MiB open-cost makes the split planner pack
+        # them into one task, serializing map-only stages (extraction's
+        # pandas UDFs). A real deployment reads thousands of files and keeps
+        # the 4 MiB default; shrinking it here only changes LOCAL split
+        # planning, never results.
+        .config("spark.sql.files.openCostInBytes", str(256 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

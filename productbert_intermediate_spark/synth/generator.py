@@ -343,7 +343,12 @@ def write_fixtures(out_dir: str, n_pages: int = 2000, seed: int = 42) -> dict[st
         "offers_truth": f"{out_dir}/offers_truth.parquet",
         "labeled_pairs_gs": f"{out_dir}/labeled_pairs_gs.parquet",
     }
-    pages.to_parquet(paths["pages"], index=False)
-    offers.to_parquet(paths["offers_truth"], index=False)
-    pairs.to_parquet(paths["labeled_pairs_gs"], index=False)
+    # Small row groups so Spark's split planner can actually parallelize the
+    # scan: a single-row-group file is one task no matter how many byte-range
+    # splits exist, which serializes the map-only extraction stage. Real
+    # web-scale corpora arrive as thousands of files/row groups; the fixture
+    # should present the same shape to the scheduler.
+    pages.to_parquet(paths["pages"], index=False, row_group_size=512)
+    offers.to_parquet(paths["offers_truth"], index=False, row_group_size=2048)
+    pairs.to_parquet(paths["labeled_pairs_gs"], index=False, row_group_size=4096)
     return paths
