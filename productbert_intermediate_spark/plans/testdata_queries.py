@@ -800,6 +800,133 @@ where list_dot_product(embedding, qvec)
 
 
 # --------------------------------------------------------------------------
+# dedup: embedding-cosine near-dup pairs (random-hyperplane LSH buckets +
+# exact cosine verify — the scale path for pairwise vector dedup)
+
+_NEARDUP_BANDS = 4
+_NEARDUP_BITS = 4  # bits (hyperplanes) per band
+_NEARDUP_DIM = 64
+_NEARDUP_THRESHOLD = 0.4
+
+
+def _neardup_hyperplanes() -> list[list[float]]:
+    """Deterministic Rademacher (±1) hyperplanes, md5-derived per component.
+
+    Constants are computed at plan-build time and embedded as literals in
+    BOTH engines' plans, so the signature definition is part of the query
+    semantics — the same charikar-SimHash-for-vectors construction as
+    operators/ann.py, reduced to plan-portable constants.
+    """
+    import hashlib
+
+    planes = []
+    for j in range(_NEARDUP_BANDS * _NEARDUP_BITS):
+        row = []
+        for i in range(_NEARDUP_DIM):
+            b = hashlib.md5(f"hp:{j}:{i}".encode()).digest()[0]
+            row.append(1.0 if b >= 128 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of vectors bucketed together by any LSH band, with exact
+    cosine ≥ threshold.
+
+    The bucket prefilter (not an all-pairs join) is the 100-TB shape: the
+    signature is a map-only projection, candidates come from equi-joins on
+    band keys, and only bucket-mates pay the exact-cosine verify. Recall is
+    tunable via bands×bits; the bucketing is mirrored verbatim in the
+    oracle, so results compare exactly.
+    """
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planes = _neardup_hyperplanes()
+
+    def _dot_plane(p: list[float]):
+        arr = F.array(*[F.lit(x) for x in p])
+        return F.aggregate(
+            F.zip_with("embedding", arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    band_keys = []
+    for b in range(_NEARDUP_BANDS):
+        bits = [
+            F.when(_dot_plane(planes[b * _NEARDUP_BITS + r]) > 0, 2**r).otherwise(0)
+            for r in range(_NEARDUP_BITS)
+        ]
+        key = F.lit(b * (2**_NEARDUP_BITS))
+        for bit in bits:
+            key = key + bit
+        band_keys.append(key)
+
+    keyed = emb.select(
+        "vec_id", F.explode(F.array(*band_keys)).alias("bkey")
+    )
+    other = keyed.select(F.col("vec_id").alias("vec_b"), "bkey")
+    cand = (
+        keyed.join(other, "bkey")
+        .where(F.col("vec_id") < F.col("vec_b"))
+        .select(F.col("vec_id").alias("vec_a"), "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("_ia"), F.col("embedding").alias("_va"))
+    eb = emb.select(F.col("vec_id").alias("_ib"), F.col("embedding").alias("_vb"))
+    hyd = cand.join(ea, F.col("vec_a") == F.col("_ia")).join(
+        eb, F.col("vec_b") == F.col("_ib")
+    )
+    dot = F.aggregate(
+        F.zip_with("_va", "_vb", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate("_va", F.lit(0.0), lambda a, v: a + v * v))
+    nb = F.sqrt(F.aggregate("_vb", F.lit(0.0), lambda a, v: a + v * v))
+    cos = dot / (na * nb)
+    return hyd.where(cos >= _NEARDUP_THRESHOLD).select("vec_a", "vec_b")
+
+
+def _neardup_sql() -> str:
+    planes = _neardup_hyperplanes()
+
+    def _arr(p: list[float]) -> str:
+        return "[" + ", ".join(str(x) for x in p) + "]"
+
+    key_exprs = []
+    for b in range(_NEARDUP_BANDS):
+        bits = " + ".join(
+            f"(case when list_dot_product(v, {_arr(planes[b * _NEARDUP_BITS + r])})"
+            f" > 0 then {2 ** r} else 0 end)"
+            for r in range(_NEARDUP_BITS)
+        )
+        key_exprs.append(f"{b * (2 ** _NEARDUP_BITS)} + {bits}")
+    keys = ", ".join(key_exprs)
+    return f"""
+with e as (
+  select vec_id, cast(embedding as double[]) as v from embeddings
+), kk as (
+  select vec_id, unnest([{keys}]) as bkey from e
+), cand as (
+  select distinct a.vec_id as vec_a, b.vec_id as vec_b
+  from kk a join kk b on a.bkey = b.bkey and a.vec_id < b.vec_id
+)
+select vec_a, vec_b
+from cand c
+join e ea on ea.vec_id = c.vec_a
+join e eb on eb.vec_id = c.vec_b
+where list_dot_product(ea.v, eb.v)
+      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+      >= {_NEARDUP_THRESHOLD}
+"""
+
+
+SQL_EMBEDDING_NEARDUP_PAIRS = _neardup_sql()
+
+
+# --------------------------------------------------------------------------
 # text analysis: quality scoring (single-division ratios are float-exact)
 
 
@@ -1633,6 +1760,7 @@ REGISTRY: dict[str, tuple] = {
     "jaccard_dup_pairs": (q_jaccard_dup_pairs, SQL_JACCARD_DUP_PAIRS),
     "simhash_fingerprint": (q_simhash_fingerprint, SQL_SIMHASH_FINGERPRINT),
     "ann_cosine_matches": (q_ann_cosine_matches, SQL_ANN_COSINE_MATCHES),
+    "embedding_neardup": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),

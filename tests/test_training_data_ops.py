@@ -147,3 +147,35 @@ def test_class_ratio(spark):
         [(1,)] * 10 + [(0,)] * 31, "label int"
     )
     assert class_ratio(labeled) == 3
+
+
+def test_embedding_neardup_subset_of_bruteforce_with_recall(spark, emb):
+    """embedding_neardup emits only true cosine>=t pairs (verify step is
+    exact) and its LSH-bucket prefilter keeps a usable fraction of them."""
+    from productbert_intermediate_spark.plans.testdata_queries import (
+        _NEARDUP_THRESHOLD,
+        q_embedding_neardup_pairs,
+    )
+
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in q_embedding_neardup_pairs(spark, SF_DIR).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    cos = mat @ mat.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    mask = cos[iu, ju] >= _NEARDUP_THRESHOLD
+    truth = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[iu[mask]], ids[ju[mask]])
+    }
+
+    assert got, "bucketed near-dup join found no pairs"
+    assert got <= truth, "emitted a pair below the cosine threshold"
+    # 4 bands x 4 bits at cos 0.4 keeps ~half the true pairs; well above
+    # the floor asserted here, which only guards against a broken prefilter.
+    assert len(got) / len(truth) >= 0.25
