@@ -105,6 +105,132 @@ def extract_image_features(
     return src.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("out_width", IntegerType(), False),
+        StructField("out_height", IntegerType(), False),
+        StructField("payload", StringType(), True),  # digest stand-in, see stub
+    ]
+)
+
+
+def resize_image_stub(
+    payload: bytes, target: tuple[int, int], fake: bool = False
+) -> tuple[int, int, str]:
+    """STUB resize. A real implementation decodes, resamples to ``target``
+    (aspect-preserving letterbox), and re-encodes — PIL/turbojpeg territory.
+
+    fake=True returns the source dims from the deterministic fake decode and
+    a sha256 digest of (payload, target) standing in for the re-encoded
+    bytes, so the pipeline shape (binary in → binary out, stable output for
+    identical input) is exercised without a codec.
+    """
+    w, h, _means = decode_image_stub(payload, fake=fake)
+    digest = hashlib.sha256(
+        payload + f":{target[0]}x{target[1]}".encode()
+    ).hexdigest()
+    return w, h, digest
+
+
+def resize_images(
+    media: DataFrame,
+    target: tuple[int, int] = (224, 224),
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """media(binary payload) → resized payloads via iterator mapInPandas.
+
+    Same scale shape as extract_image_features: codec init once per task,
+    one Arrow batch in memory at a time, map-only (no shuffle)."""
+    src = media.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+    tw, th = int(target[0]), int(target[1])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                w, h, out = resize_image_stub(data, (tw, th), fake=fake_decode)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "width": w,
+                        "height": h,
+                        "out_width": tw,
+                        "out_height": th,
+                        "payload": out,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return src.mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+
+def decode_audio_stub(payload: bytes, fake: bool = False):
+    """STUB audio decode (no audio codec in this container). fake=True
+    yields deterministic (sample_rate, duration_s, rms) from the bytes."""
+    if not fake:
+        raise NotImplementedError(
+            "audio decoding requires an audio codec; run with fake=True for "
+            "the deterministic test stub"
+        )
+    digest = hashlib.sha256(b"audio:" + payload).digest()
+    sample_rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+    duration_s = len(payload) / float(sample_rate)
+    rms = digest[1] / 255.0
+    return sample_rate, duration_s, rms
+
+
+def extract_audio_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """media(binary payload) → per-item audio features via mapInPandas."""
+    src = media.select(
+        F.col(id_col).alias("media_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                sr, dur, rms = decode_audio_stub(data, fake=fake_decode)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "n_bytes": len(data),
+                        "sample_rate": sr,
+                        "duration_s": dur,
+                        "rms": rms,
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURE_SCHEMA]
+            )
+
+    return src.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
 def frame_sample_plan(
     media: DataFrame,
     every_n: int = 10,

@@ -179,3 +179,43 @@ def test_embedding_neardup_subset_of_bruteforce_with_recall(spark, emb):
     # 4 bands x 4 bits at cos 0.4 keeps ~half the true pairs; well above
     # the floor asserted here, which only guards against a broken prefilter.
     assert len(got) / len(truth) >= 0.25
+
+
+def _media_df(spark, n=20):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(n)
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+
+
+def test_resize_images_plumbing(spark):
+    from productbert_intermediate_spark.operators.multimodal import resize_images
+
+    media = _media_df(spark)
+    out = resize_images(media, target=(128, 96)).collect()
+    assert len(out) == 20
+    assert all(r.out_width == 128 and r.out_height == 96 for r in out)
+    # deterministic: identical input bytes + target → identical output
+    again = {r.media_id: r.payload for r in resize_images(media, target=(128, 96)).collect()}
+    assert {r.media_id: r.payload for r in out} == again
+    # target participates in the output payload (a resize, not a copy)
+    other = {r.media_id: r.payload for r in resize_images(media, target=(64, 64)).collect()}
+    assert all(other[r.media_id] != r.payload for r in out)
+
+
+def test_audio_features_plumbing(spark):
+    from productbert_intermediate_spark.operators.multimodal import (
+        decode_audio_stub,
+        extract_audio_features,
+    )
+
+    media = _media_df(spark)
+    out = extract_audio_features(media).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.sample_rate in (8000, 16000, 22050, 44100)
+        assert r.duration_s == pytest.approx(r.n_bytes / r.sample_rate)
+        assert 0.0 <= r.rms <= 1.0
+    with pytest.raises(NotImplementedError):
+        decode_audio_stub(b"xx", fake=False)
