@@ -1253,6 +1253,92 @@ from cut
 
 
 # --------------------------------------------------------------------------
+# P15 — MLM token masking (reference process_to_bert.py:245-272): Bernoulli
+# 15% target selection, 80/10/10 [MASK]/random-token/keep rule. The
+# reference draws from np.random seeded once per script; the distributed
+# re-expression derives every draw from md5(doc_id:pos) so the masking is
+# deterministic per token position, identical at any parallelism, and
+# mirrored exactly in the oracle. Fixed-width lowercase hex compares
+# lexicographically == numerically, so u < p becomes a hex-string compare
+# (same device as the minhash signature above).
+
+_MLM_P_TARGET_HEX = "26666666"  # 0.15 * 2^32
+_MLM_P_MASK_HEX = "cccccccc"  # 0.80 * 2^32
+_MLM_P_RANDOM_HEX = "e6666666"  # 0.90 * 2^32
+# 16-entry replacement vocabulary indexed by one hex digit of the draw —
+# the plan-portable stand-in for "a random token from the vocabulary".
+_MLM_RANDOM_VOCAB = [
+    "the", "of", "and", "to", "in", "a", "is", "that",
+    "for", "it", "as", "with", "on", "be", "at", "by",
+]
+_HEX_DIGITS = "0123456789abcdef"
+
+
+def q_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    h = _md5(F.concat_ws(":", F.col("doc_id"), F.col("pos"), F.lit("mlm")))
+    u_target = F.substring(h, 1, 8)
+    u_action = F.substring(h, 9, 8)
+    vocab_digit = F.substring(h, 17, 1)
+    random_tok = None
+    for i, w in enumerate(_MLM_RANDOM_VOCAB):
+        cond = F.when(vocab_digit == _HEX_DIGITS[i], F.lit(w))
+        random_tok = cond if random_tok is None else random_tok.when(
+            vocab_digit == _HEX_DIGITS[i], F.lit(w)
+        )
+    is_target = u_target < _MLM_P_TARGET_HEX
+    out = (
+        F.when(~is_target, F.col("token"))
+        .when(u_action < _MLM_P_MASK_HEX, F.lit("[MASK]"))
+        .when(u_action < _MLM_P_RANDOM_HEX, random_tok)
+        .otherwise(F.col("token"))
+    )
+    return tok.select(
+        "doc_id",
+        "pos",
+        "token",
+        out.alias("masked_token"),
+        is_target.cast("int").alias("is_target"),
+    )
+
+
+def _mlm_sql() -> str:
+    vocab_case = " ".join(
+        f"when '{_HEX_DIGITS[i]}' then '{w}'"
+        for i, w in enumerate(_MLM_RANDOM_VOCAB)
+    )
+    return f"""
+with w as (
+  select doc_id, string_split(text, ' ') as w
+  from documents where length(text) > 0
+), tok as (
+  select doc_id,
+         unnest(range(1, len(w) + 1)) as pos,
+         unnest(w) as token
+  from w
+), drawn as (
+  select doc_id, pos, token,
+         md5(doc_id || ':' || pos || ':' || 'mlm') as h
+  from tok
+)
+select doc_id, pos, token,
+       case when substr(h, 1, 8) >= '{_MLM_P_TARGET_HEX}' then token
+            when substr(h, 9, 8) < '{_MLM_P_MASK_HEX}' then '[MASK]'
+            when substr(h, 9, 8) < '{_MLM_P_RANDOM_HEX}'
+              then case substr(h, 17, 1) {vocab_case} end
+            else token end as masked_token,
+       cast(substr(h, 1, 8) < '{_MLM_P_TARGET_HEX}' as int) as is_target
+from drawn
+"""
+
+
+SQL_MLM_MASK = _mlm_sql()
+
+
+# --------------------------------------------------------------------------
 # A2 — class-ratio aggregation (pos_neg loss weight source)
 
 
@@ -1766,6 +1852,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "bert_pair_encode": (q_bert_pair_encode, SQL_BERT_PAIR_ENCODE),
+    "mlm_mask": (q_mlm_mask, SQL_MLM_MASK),
     "vocab_min_df": (q_vocab_min_df, SQL_VOCAB_MIN_DF),
     "wordcooc_feature": (q_wordcooc_feature, SQL_WORDCOOC_FEATURE),
     "class_ratio": (q_class_ratio, SQL_CLASS_RATIO),
