@@ -73,11 +73,17 @@ def _bench_er_throughput(spark, n_pages: int) -> tuple[float, dict[str, float]]:
     offers.count()
     timings["er_extract"] = time.time() - t0
 
+    # Stage timings are min-of-2 (shared box, ±35% single-shot swing): the
+    # first pass materializes through noop, the second caches — the min is
+    # the comparable steady-state figure, same rationale as the headline.
+    t0 = time.time()
+    _materialize(B.block_offers(offers))
+    block_first = time.time() - t0
     t0 = time.time()
     pairs = B.block_offers(offers)
     pairs.cache()
     n_pairs = pairs.count()
-    timings["er_block"] = time.time() - t0
+    timings["er_block"] = min(block_first, time.time() - t0)
 
     # Headline metric: min of 3 measured scoring runs (first run doubles as
     # the warm-up). Single-shot timing of the Python-UDF stage swings ±35%
@@ -94,9 +100,12 @@ def _bench_er_throughput(spark, n_pages: int) -> tuple[float, dict[str, float]]:
     scored.cache()
     scored.count()
 
-    t0 = time.time()
-    _materialize(assign_entities(offers, scored.where("match")))
-    timings["er_cluster"] = time.time() - t0
+    cluster_runs = []
+    for _ in range(2):
+        t0 = time.time()
+        _materialize(assign_entities(offers, scored.where("match")))
+        cluster_runs.append(time.time() - t0)
+    timings["er_cluster"] = min(cluster_runs)
 
     offers.unpersist()
     pairs.unpersist()
