@@ -1,0 +1,47 @@
+"""Physical-plan scale audit over every registry query.
+
+A query can be value-correct at sf0.001 and still carry a plan that dies at
+the 100 TB design point — a per-group cartesian, or a no-partition window
+funnelling all rows through one task. This guard asserts those shapes never
+(re)appear, with an explicit allowlist for the three constructs that are
+bounded by something other than input size (and documents why for each).
+"""
+
+import pytest
+
+from productbert_intermediate_spark.plans.testdata_queries import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# BroadcastNestedLoopJoin is acceptable only when the broadcast side is a
+# constant-size frame (here: the single query vector crossJoined against
+# the corpus — a map-only broadcast scan, not an O(n^2) join).
+NLJ_ALLOWED = {"ann_cosine_matches", "ann_topk"}
+
+# SinglePartition exchanges allowed only where the single partition holds
+# O(1) or O(num_partitions) rows, never O(input):
+#  - confusion_matrix: final merge of one 4-counter row (partial aggs are
+#    map-side and parallel);
+#  - label_encode / fk_surrogate_join: dense_ids' cumulative-offset window
+#    runs over one row per partition (operators/ids.py), not over the keys.
+SINGLE_PARTITION_ALLOWED = {
+    "confusion_matrix",
+    "label_encode",
+    "fk_surrogate_join",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_plan_has_no_unjustified_scale_killers(spark, name):
+    fn, _sql = REGISTRY[name]
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    if name not in NLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name}: nested-loop join in plan"
+        )
+    if name not in SINGLE_PARTITION_ALLOWED:
+        assert "SinglePartition" not in plan, (
+            f"{name}: single-partition exchange in plan"
+        )
