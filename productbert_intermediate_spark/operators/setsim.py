@@ -60,29 +60,42 @@ def jaccard_similarity_join(
     base = _with_rarity_sorted_tokens(docs, id_col, toks_col, gcols)
 
     n = F.size("_sorted_toks")
-    prefix_len = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
-    # Self-join and hydration consume ALIASED copies of one subplan with all
-    # renames applied AFTER the join, so the shuffle exchanges on both sides
-    # canonicalize equal and are materialized once and reused (the same
-    # ReuseExchange pattern as scoring.hydrate_pairs) — without it each
-    # branch re-runs the explode + rarity-sort pipeline.
-    prefix = base.select(
-        F.col(id_col).alias("_id"),
-        *gcols,
-        n.alias("_len"),
-        F.posexplode(F.slice("_sorted_toks", 1, prefix_len)).alias(
-            "_pos", "_ptok"
-        ),
-    )
-    pa = prefix.alias("_pa")
-    pb = prefix.alias("_pb")
-    # PPJoin positional filter (Xiao et al. 2008): a matched prefix token at
-    # 0-based positions (pa, pb) bounds the achievable overlap by
-    # 1 + min(|x|-1-pa, |y|-1-pb); pairs whose bound can't reach the
-    # Jaccard-equivalent overlap floor ceil(t·(|x|+|y|)/(1+t)) are pruned
-    # BEFORE the distinct. Recall-lossless: the pair's first common token
-    # has the loosest bound, so a true pair always keeps at least that join
-    # row (the 1e-9 slack guards the float ceil against over-pruning).
+    # Asymmetric PPJoin prefixes (Xiao et al. 2008 §4): with records ordered
+    # by (size, id), the smaller record of a pair is always the INDEXED side,
+    # whose prefix only needs length |y| - ceil(2t/(1+t)·|y|) + 1 (overlap
+    # floor when the probe is at least as large: o_min >= 2t/(1+t)·|y|); the
+    # PROBE side keeps the full AllPairs prefix |x| - ceil(t·|x|) + 1
+    # (o_min >= t·|x| via the length filter |y| >= t·|x|). At t=0.6 the index
+    # prefix is 0.25·|y| vs the symmetric 0.4·|y| — join rows shrink by the
+    # product of the posting-list cuts while recall stays lossless.
+    probe_len = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
+    index_len = (
+        n - F.ceil(F.lit(2.0 * threshold / (1.0 + threshold)) * n) + 1
+    ).cast("int")
+    # Probe and index branches consume ALIASED projections of one subplan,
+    # so the shuffle exchanges canonicalize equal and the explode +
+    # rarity-sort pipeline materializes once (ReuseExchange) — same pattern
+    # as scoring.hydrate_pairs.
+
+    def _exploded(plen, side: str):
+        return base.select(
+            F.col(id_col).alias("_id"),
+            *gcols,
+            n.alias("_len"),
+            F.posexplode(F.slice("_sorted_toks", 1, plen)).alias(
+                "_pos", "_ptok"
+            ),
+        ).alias(side)
+
+    pa = _exploded(probe_len, "_pa")  # probe: the (size, id)-larger record
+    pb = _exploded(index_len, "_pb")  # index: the (size, id)-smaller record
+    # PPJoin positional filter: a matched prefix token at 0-based positions
+    # (pa, pb) bounds the achievable overlap by 1 + min(|x|-1-pa, |y|-1-pb);
+    # pairs whose bound can't reach the Jaccard-equivalent overlap floor
+    # ceil(t·(|x|+|y|)/(1+t)) are pruned BEFORE the distinct. Recall-
+    # lossless: the pair's first common token has the loosest bound, so a
+    # true pair always keeps at least that join row (the 1e-9 slack guards
+    # the float ceil against over-pruning).
     ubound = 1 + F.least(
         F.col("_pa._len") - 1 - F.col("_pa._pos"),
         F.col("_pb._len") - 1 - F.col("_pb._pos"),
@@ -94,13 +107,24 @@ def jaccard_similarity_join(
     )
     cond = [
         F.col("_pa._ptok") == F.col("_pb._ptok"),
-        F.col("_pa._id") < F.col("_pb._id"),
+        # index side strictly precedes the probe side in (size, id) order
+        (F.col("_pb._len") < F.col("_pa._len"))
+        | (
+            (F.col("_pb._len") == F.col("_pa._len"))
+            & (F.col("_pb._id") < F.col("_pa._id"))
+        ),
+        # length filter: J >= t forces |y| >= t·|x| for the smaller side
+        F.col("_pb._len")
+        >= F.ceil(F.lit(threshold) * F.col("_pa._len") - F.lit(1e-9)),
         ubound >= o_min,
     ]
     cond += [F.col(f"_pa.{g}") == F.col(f"_pb.{g}") for g in gcols]
     candidates = (
         pa.join(pb, cond)
-        .select(F.col("_pa._id").alias("id_a"), F.col("_pb._id").alias("id_b"))
+        .select(
+            F.least("_pa._id", "_pb._id").alias("id_a"),
+            F.greatest("_pa._id", "_pb._id").alias("id_b"),
+        )
         .distinct()
     )
 
