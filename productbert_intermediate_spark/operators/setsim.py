@@ -4,10 +4,12 @@ Replaces the naive per-group all-pairs self-join for threshold Jaccard with
 the prefix-filter candidate generation of the AllPairs / PPJoin family
 (Bayardo, Ma, Srikant, WWW 2007; Xiao, Wang, Lin, Yu, WWW 2008 — public
 algorithms). Unlike LSH this is EXACT: with a global token order, any pair
-with Jaccard(x, y) ≥ t must share its least common token inside both
-prefixes of length |x| - ceil(t·|x|) + 1, so candidate generation has no
-false negatives and the exact verify step makes the result identical to the
-brute-force join — at sub-quadratic cost.
+with Jaccard(x, y) ≥ t must share a token between the probe prefix of the
+larger record (length |x| - ceil(t·|x|) + 1) and the shorter index prefix
+of the smaller record (length |y| - ceil(2t/(1+t)·|y|) + 1, valid because
+the pair's overlap floor is at least 2t/(1+t)·|y| when |x| ≥ |y|), so
+candidate generation has no false negatives and the exact verify step
+makes the result identical to the brute-force join — at sub-quadratic cost.
 
 Why it scales: tokens are ordered rarest-first (df ascending), so prefix
 tokens are the rare ones and the inverted-index self-join touches small
@@ -68,14 +70,22 @@ def jaccard_similarity_join(
     # (o_min >= t·|x| via the length filter |y| >= t·|x|). At t=0.6 the index
     # prefix is 0.25·|y| vs the symmetric 0.4·|y| — join rows shrink by the
     # product of the posting-list cuts while recall stays lossless.
-    probe_len = (n - F.ceil(F.lit(threshold) * n) + 1).cast("int")
-    index_len = (
-        n - F.ceil(F.lit(2.0 * threshold / (1.0 + threshold)) * n) + 1
+    # The -1e-9 slack inside each ceil guards against double rounding-UP of
+    # an exactly-integral product (e.g. t=0.43, n=143: exact 2t/(1+t)·n = 86
+    # but the double product lands at 86.000000000000014 → ceil 87 → a
+    # one-short prefix that silently drops qualifying pairs). Same guard as
+    # o_min and the length filter below.
+    probe_len = (
+        n - F.ceil(F.lit(threshold) * n - F.lit(1e-9)) + 1
     ).cast("int")
-    # Probe and index branches consume ALIASED projections of one subplan,
-    # so the shuffle exchanges canonicalize equal and the explode +
-    # rarity-sort pipeline materializes once (ReuseExchange) — same pattern
-    # as scoring.hydrate_pairs.
+    index_len = (
+        n
+        - F.ceil(F.lit(2.0 * threshold / (1.0 + threshold)) * n - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    # Both branches project from one `base` subplan, so base's internal
+    # shuffles (the rarity-sort groupBy) are computed once; the probe/index
+    # explodes differ in slice length and are necessarily separate stages.
 
     def _exploded(plen, side: str):
         return base.select(

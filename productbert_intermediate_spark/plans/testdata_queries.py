@@ -1283,12 +1283,9 @@ def q_mlm_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_target = F.substring(h, 1, 8)
     u_action = F.substring(h, 9, 8)
     vocab_digit = F.substring(h, 17, 1)
-    random_tok = None
-    for i, w in enumerate(_MLM_RANDOM_VOCAB):
-        cond = F.when(vocab_digit == _HEX_DIGITS[i], F.lit(w))
-        random_tok = cond if random_tok is None else random_tok.when(
-            vocab_digit == _HEX_DIGITS[i], F.lit(w)
-        )
+    random_tok = F.when(vocab_digit == _HEX_DIGITS[0], F.lit(_MLM_RANDOM_VOCAB[0]))
+    for i, w in list(enumerate(_MLM_RANDOM_VOCAB))[1:]:
+        random_tok = random_tok.when(vocab_digit == _HEX_DIGITS[i], F.lit(w))
     is_target = u_target < _MLM_P_TARGET_HEX
     out = (
         F.when(~is_target, F.col("token"))

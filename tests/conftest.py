@@ -30,3 +30,8 @@ def e2e_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("fixtures_e2e")
     write_fixtures(str(d), n_pages=2000, seed=42)
     return str(d)
+
+
+# Driver-provided testdata scale used by oracle/contract tests — single
+# definition so no module drifts onto a different corpus.
+TESTDATA_SF_DIR = "/root/testdata/sf0.001"

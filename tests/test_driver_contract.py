@@ -8,7 +8,7 @@ import pytest
 
 from productbert_intermediate_spark.plans.testdata_queries import REGISTRY
 
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import TESTDATA_SF_DIR as SF_DIR
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()

@@ -11,7 +11,7 @@ import pytest
 
 from productbert_intermediate_spark.plans.testdata_queries import REGISTRY
 
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import TESTDATA_SF_DIR as SF_DIR
 
 # BroadcastNestedLoopJoin is acceptable only when the broadcast side is a
 # constant-size frame (here: the single query vector crossJoined against

@@ -16,7 +16,7 @@ from productbert_intermediate_spark.operators.wordcooc import (
     wordcooc_features,
 )
 
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import TESTDATA_SF_DIR as SF_DIR
 
 
 @pytest.fixture(scope="module")
@@ -219,3 +219,51 @@ def test_audio_features_plumbing(spark):
         assert 0.0 <= r.rms <= 1.0
     with pytest.raises(NotImplementedError):
         decode_audio_stub(b"xx", fake=False)
+
+
+def test_mlm_mask_rates_and_hand_computed_rows(spark):
+    """Independent check of mlm_mask (the DuckDB oracle shares the md5
+    construction, so it can't catch a wrong constant): empirical 15% /
+    80-10-10 rates over the corpus, plus per-row agreement with a hashlib
+    re-derivation of the draw for every token of one document."""
+    import hashlib as _hl
+
+    from productbert_intermediate_spark.plans.testdata_queries import (
+        _MLM_RANDOM_VOCAB,
+        q_mlm_mask,
+    )
+
+    rows = q_mlm_mask(spark, SF_DIR).collect()
+    n = len(rows)
+    targets = [r for r in rows if r.is_target == 1]
+    assert abs(len(targets) / n - 0.15) < 0.01
+    masked = sum(1 for r in targets if r.masked_token == "[MASK]")
+    unchanged = sum(1 for r in targets if r.masked_token == r.token)
+    randomed = len(targets) - masked - unchanged
+    assert abs(masked / len(targets) - 0.80) < 0.03
+    # "unchanged" includes random draws that happen to hit the original
+    # token, so allow a little asymmetry around 0.10
+    assert abs(randomed / len(targets) - 0.10) < 0.03
+    assert abs(unchanged / len(targets) - 0.10) < 0.03
+    assert all(
+        r.masked_token in (_MLM_RANDOM_VOCAB + ["[MASK]", r.token])
+        for r in targets
+    )
+    # non-targets pass through untouched
+    assert all(r.masked_token == r.token for r in rows if r.is_target == 0)
+
+    # hand-derive every draw for one document with hashlib alone
+    doc = [r for r in rows if r.doc_id == 0]
+    for r in doc:
+        h = _hl.md5(f"{r.doc_id}:{r.pos}:mlm".encode()).hexdigest()
+        u_target = int(h[0:8], 16) / 2**32
+        u_action = int(h[8:16], 16) / 2**32
+        if u_target >= 0.15:
+            assert (r.is_target, r.masked_token) == (0, r.token)
+        elif u_action < 0.80:
+            assert (r.is_target, r.masked_token) == (1, "[MASK]")
+        elif u_action < 0.90:
+            expect = _MLM_RANDOM_VOCAB[int(h[16], 16)]
+            assert (r.is_target, r.masked_token) == (1, expect)
+        else:
+            assert (r.is_target, r.masked_token) == (1, r.token)
