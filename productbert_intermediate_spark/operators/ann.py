@@ -1,6 +1,6 @@
 """Approximate nearest neighbors over embedding columns (array<float>).
 
-Two strategies:
+Three strategies:
 * ``brute_force_topk`` — exact cosine top-k per query: broadcast the query
   set, JVM-side sequential-fold dot products, window top-k. The baseline,
   and the right answer whenever |queries|·|corpus| is joinable.
@@ -9,6 +9,11 @@ Two strategies:
   candidates share a (possibly probed) bucket; exact cosine re-rank inside.
   The 100TB path: the corpus is bucketed once (shuffle on bucket), each
   query touches B+1 buckets instead of the whole corpus.
+* ``ivf_topk`` — inverted-file index: deterministic spherical k-means
+  partitions the corpus into coarse cells; each query probes its n_probe
+  nearest cells and exact-re-ranks inside. Data-adaptive (cells follow the
+  embedding distribution, unlike data-oblivious hyperplanes), at the cost
+  of a training scan per Lloyd iteration.
 
 Projections run in an Arrow-batched pandas UDF (numpy matmul — deterministic
 across runs/processes for fixed seed); everything else is JVM-side.
@@ -116,6 +121,130 @@ def lsh_topk(
     return (
         joined.select(query_id_col, id_col, cos)
         .dropDuplicates([query_id_col, id_col])
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index: deterministic spherical k-means + cell probing
+
+
+def _assign_cells_udf(centroids: np.ndarray, n_probe: int):
+    """pandas UDF: vector → its n_probe nearest centroid ids (cosine,
+    ties broken by centroid id via stable argsort)."""
+    c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf(ArrayType(LongType()))
+    def assign(vecs: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
+        mat = np.vstack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ c.T
+        # stable kind='stable' argsort on -sims → ascending centroid id ties
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int64)))
+
+    return assign
+
+
+_IVF_QUANT = 1_000_000  # fixed-point scale for order-independent mean sums
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic spherical k-means over the corpus; returns (C, dim).
+
+    Determinism at ANY parallelism, rigorously:
+    * init = the embeddings of the ``n_centroids`` rows with the smallest
+      md5(id) (a seeded, partitioning-independent sample);
+    * each Lloyd mean is computed from per-dimension SUMS of fixed-point
+      int64 components (round(v * 1e6)) — integer addition is exact and
+      commutative, so the aggregated sums (and hence the next centroids)
+      are bit-identical regardless of row order or partition count, which
+      float sums are not. Cells keep their previous centroid when empty.
+    Per-iteration driver sync is one (C × dim)-row collect — the same O(1)
+    serial floor as connected-components' convergence fingerprint.
+    """
+    seed_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    centroids = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    dim = centroids.shape[1]
+
+    quant = (
+        F.round(F.col("_v") * _IVF_QUANT).cast("long").alias("_q")
+    )
+    for _ in range(n_iters):
+        assign = _assign_cells_udf(centroids, 1)
+        sums = (
+            corpus.select(
+                F.element_at(assign(F.col(vec_col)), 1).alias("_cid"),
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                    "_pos", "_v"
+                ),
+            )
+            .select("_cid", "_pos", quant)
+            .groupBy("_cid", "_pos")
+            .agg(F.sum("_q").alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        new = centroids.copy()
+        acc = np.zeros((n_centroids, dim), dtype=np.int64)
+        cnt = np.zeros(n_centroids, dtype=np.int64)
+        for r in sums:
+            acc[r["_cid"], r["_pos"]] = r["_s"]
+            cnt[r["_cid"]] = r["_n"]
+        nonempty = cnt > 0
+        new[nonempty] = acc[nonempty] / (
+            _IVF_QUANT * cnt[nonempty, None].astype(np.float64)
+        )
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into k-means cells,
+    probe each query's n_probe nearest cells, exact cosine re-rank inside.
+
+    With ``n_probe == n_centroids`` every cell is probed and the result
+    equals ``brute_force_topk`` exactly (the re-rank is exact) — the
+    recall dial goes all the way to 1. Pass precomputed ``centroids`` to
+    amortize training across query batches (index build vs search split).
+    """
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids, n_iters, id_col, vec_col
+        )
+    cell_of = _assign_cells_udf(centroids, 1)
+    probes = _assign_cells_udf(centroids, n_probe)
+    c = corpus.withColumn("_cell", F.element_at(cell_of(F.col(vec_col)), 1))
+    q = queries.withColumn("_cell", F.explode(probes(F.col(query_vec_col))))
+    joined = c.join(F.broadcast(q), "_cell")
+    cos = array_cosine(F.col(vec_col), F.col(query_vec_col)).alias("_cos")
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc(id_col))
+    return (
+        joined.select(query_id_col, id_col, cos)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "rank")

@@ -1813,6 +1813,22 @@ limit 10
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (operators/ann.py): deterministic spherical
+    k-means cells + n_probe cell probing + exact re-rank. The training loop
+    is iterative (5 Lloyd rounds with data-dependent centroids), so there is
+    no single-SQL oracle; exactness is pinned in pytest instead, where
+    probing ALL cells is asserted equal to brute_force_topk row-for-row
+    (tests/test_training_data_ops.py)."""
+    from ..operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, q, k=5, n_centroids=8, n_probe=3, n_iters=3)
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1866,6 +1882,7 @@ REGISTRY: dict[str, tuple] = {
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     # Spark-private (no SQL equivalent → rows-only driver check)
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
     "porter_stem": (q_porter_stem, None),
     "er_score_pairs": (q_er_score_pairs, None),
     "er_entities": (q_er_entities, None),
