@@ -90,15 +90,20 @@ def _bench_er_throughput(spark, n_pages: int) -> tuple[float, dict[str, float]]:
     # on this shared box; the min is the stable noise-floor estimate the
     # scaling bench also reports (see BENCH.md methodology).
     runs = []
-    for _ in range(3):
+    scored = None
+    for i in range(3):
         t0 = time.time()
-        _materialize(S.score_candidates(pairs, offers))
+        if i < 2:
+            _materialize(S.score_candidates(pairs, offers))
+        else:
+            # last timed run doubles as the cache fill for the clustering
+            # stage — no fourth (un-timed) full scoring pass
+            scored = S.score_candidates(pairs, offers)
+            scored.cache()
+            scored.count()
         runs.append(time.time() - t0)
     score_sec = min(runs)
     timings["er_score"] = score_sec
-    scored = S.score_candidates(pairs, offers)
-    scored.cache()
-    scored.count()
 
     cluster_runs = []
     for _ in range(2):

@@ -83,16 +83,27 @@ class MetricTracker:
         return df.observe(obs, *aggs)
 
     def harvest(self) -> None:
-        """Fold every completed observation into the running totals."""
+        """Fold every COMPLETED observation into the running totals.
+
+        Non-blocking: an observation whose DataFrame action has not finished
+        (or failed) is left pending for a later harvest instead of parking
+        the driver forever on ``Observation.get`` — a tracker must never be
+        able to hang the pipeline it is instrumenting.
+        """
+        still_pending = []
         for obs in self._pending:
-            got = obs.get  # blocks until the observed df's action completed
+            jopt = obs._jo.getRowOrEmpty()
+            if not jopt.isDefined():
+                still_pending.append(obs)
+                continue
+            got = obs.get  # completed → returns immediately
             for name, val in got.items():
                 key, kind = name.rsplit("__", 1)
                 if kind == "sum":
                     self._totals[key] += float(val or 0.0)
                 else:
                     self._counts[key] += int(val or 0)
-        self._pending = []
+        self._pending = still_pending
 
     def avg(self, key: str) -> float | None:
         n = self._counts.get(key, 0)

@@ -55,10 +55,16 @@ def jaccard_similarity_join(
 
     group_cols restricts pairs to rows sharing those columns (the reference
     compares offers within category; the dedup query within source).
-    Output: group_cols + (id_a, id_b, jaccard). Exact — equal as a set to
-    the brute-force within-group all-pairs join.
+    Output: (id_a, id_b, jaccard). Exact — equal as a set to the brute-force
+    within-group all-pairs join.
+
+    Jaccard is a SET measure, so token arrays are deduplicated up front:
+    without this, a duplicate-heavy row inflates the multiset length used by
+    the prefix/overlap bounds past what the set-semantics verify step can
+    reach, and true pairs would be pruned.
     """
     gcols = list(group_cols or [])
+    docs = docs.withColumn(toks_col, F.array_distinct(F.col(toks_col)))
     base = _with_rarity_sorted_tokens(docs, id_col, toks_col, gcols)
 
     n = F.size("_sorted_toks")

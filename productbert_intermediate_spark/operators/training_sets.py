@@ -161,10 +161,16 @@ def random_negative_pairs(
     The reference reject-resamples from the whole category
     (sample_intermediate_training_sets.py:176-185). Distributed analog:
     every category member gets a position in ONE seeded permutation
-    (md5-ranked); each query probes ``oversample × n_random`` consecutive
-    positions starting at its own hash, drops ineligible hits, keeps the
-    first n_random. Equal in distribution, deterministic, and O(k) probes
-    per query via an equi-join on (category, position) — no category scan.
+    (md5-ranked); each query probes consecutive positions starting at its
+    own hash, drops ineligible hits, keeps the first n_random. The probe
+    window is sized per query from its eligibility: oversample × k × n /
+    eligible positions (eligible = category size − own-cluster size −
+    already-chosen hard negatives), falling back to the WHOLE category
+    when eligibility is scarce — so a query inside a dominant cluster
+    still collects min(k, eligible) negatives exactly, like the
+    reference's unbounded reject loop, instead of silently undersampling.
+    Deterministic, and O(k·n/eligible) probes per query via an equi-join
+    on (category, position) — no category scan in the common case.
     """
     w_perm = Window.partitionBy(group_col).orderBy(
         _md5(F.concat(F.col("cand_id").cast("string"), F.lit(f":perm{seed}")))
@@ -182,6 +188,9 @@ def random_negative_pairs(
     per_query = hard.groupBy("query_id").agg(
         F.count("*").alias("_nh"), F.first("avail").alias("_avail")
     )
+    clus_sizes = corpus.groupBy(F.col("cluster_id").alias("_qc")).agg(
+        F.count("*").alias("_qcn")
+    )
     queries = (
         corpus.select(
             group_col,
@@ -190,6 +199,7 @@ def random_negative_pairs(
         )
         .join(per_query, "query_id")
         .join(cat_sizes, group_col)
+        .join(clus_sizes, "_qc")
     )
     n_rand = (
         F.least(F.col("_avail"), F.lit(amount)) - F.col("_nh")
@@ -197,11 +207,31 @@ def random_negative_pairs(
     base = F.pmod(
         F.xxhash64(F.col("query_id"), F.lit(seed)), F.col("_n")
     ).cast("long")
+    # eligibility-aware window: expected eligible hits in `window` probes is
+    # window · eligible / n; demanding oversample × k of them gives the
+    # formula below. When eligibility is scarce (≤ 2k) probe the whole
+    # category — the permutation-order walk then degenerates to the exact
+    # reject-everything-ineligible scan, returning min(k, eligible) rows.
+    eligible = F.greatest(
+        F.col("_n") - F.col("_qcn") - F.col("_nh"), F.lit(0)
+    )
+    window = F.when(eligible <= F.col("_k") * 2, F.col("_n")).otherwise(
+        F.least(
+            F.col("_n"),
+            F.greatest(
+                F.col("_k") * oversample,
+                F.ceil(
+                    F.lit(float(oversample))
+                    * F.col("_k")
+                    * F.col("_n")
+                    / eligible
+                ).cast("long"),
+            ),
+        )
+    )
     probes = queries.withColumn("_k", n_rand).where(F.col("_k") > 0).select(
         group_col, "query_id", "_qc", "_n", "_k", base.alias("_base"),
-        F.explode(
-            F.sequence(F.lit(1), F.least(F.col("_k") * oversample, F.col("_n")))
-        ).alias("_i"),
+        F.explode(F.sequence(F.lit(1), window)).alias("_i"),
     ).withColumn("_pos", F.pmod(F.col("_base") + F.col("_i"), F.col("_n")))
     joined = (
         probes.join(perm, [group_col, "_pos"])

@@ -1152,12 +1152,20 @@ def q_bert_pair_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.bert_encode import WordPieceVocab, encode_pairs
-    from ..operators.wordcooc import build_vocabulary
 
     docs = _t(spark, sf_dir, "documents")
+    # Vocabulary df counts use the SAME single-space split as the encoder
+    # (bert_encode.tokenize, wordpiece=False) and the oracle's string_split —
+    # build_vocabulary's whitespace-run tokenize() would diverge on texts
+    # containing tabs/newlines/double spaces.
     vocab_tokens = [
         r["token"]
-        for r in build_vocabulary(docs.select("text"), min_df=100)
+        for r in docs.select(
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= 100)
         .orderBy("token")
         .collect()
     ]
@@ -1177,7 +1185,12 @@ def q_bert_pair_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "pair_no", F.col("doc_id").alias("doc_right"),
         F.col("text").alias("text_right"),
     )
-    pairs = left.join(right, ["source", "pair_no"])
+    # NULL-text docs participate in the pairing row numbers (as in the
+    # oracle's `numbered` CTE) but their pairs are dropped — the oracle
+    # loses them via the inner join on the per-doc ids CTE.
+    pairs = left.join(right, ["source", "pair_no"]).where(
+        F.col("text_left").isNotNull() & F.col("text_right").isNotNull()
+    )
     enc = encode_pairs(
         pairs, "text_left", "text_right", vocab,
         max_length=_BERT_MAX_LEN, wordpiece=False,
@@ -1453,10 +1466,13 @@ select a.k as p_partkey,
             when greatest(abs(size_a), abs(size_b)) = 0 then 1.0
             else 1.0 - abs(size_a - size_b) / greatest(abs(size_a), abs(size_b))
        end as size_anm,
-       case when greatest(length(lower(name_a)), length(lower(name_b))) = 0 then 1.0
-            else 1.0 - levenshtein(lower(name_a), lower(name_b))
-                       / cast(greatest(length(lower(name_a)),
-                                       length(lower(name_b))) as double)
+       case when greatest(length(coalesce(lower(name_a), '')),
+                          length(coalesce(lower(name_b), ''))) = 0 then 1.0
+            else 1.0 - levenshtein(coalesce(lower(name_a), ''),
+                                   coalesce(lower(name_b), ''))
+                       / cast(greatest(length(coalesce(lower(name_a), '')),
+                                       length(coalesce(lower(name_b), '')))
+                              as double)
        end as name_lev_sim
 from a join b on a.k = b.k
 """

@@ -160,3 +160,27 @@ def test_build_training_pairs_gs_exclusion(spark):
     ).toPandas()
     key = set(out.apply(lambda r: frozenset((r["id_left"], r["id_right"])), axis=1))
     assert frozenset((1, 2)) not in key
+
+
+def test_random_negatives_dominant_cluster_not_undersampled(spark):
+    """A query inside a cluster holding 90% of its category must still get
+    its full n_random quota: the probe window adapts to eligibility (and
+    degenerates to scanning the whole category) instead of probing a fixed
+    oversample*k slice that is mostly same-cluster."""
+    rows = [(i, 1 if i < 180 else 100 + i, "A") for i in range(200)]
+    corpus = spark.createDataFrame(
+        [(i, c, g, ["t"]) for i, c, g in rows],
+        "id long, cluster_id long, category string, tokens array<string>",
+    )
+    hard = spark.createDataFrame(
+        [(1, 185, 10)], "query_id long, cand_id long, avail int"
+    )
+    got = random_negative_pairs(corpus, hard, amount=10, seed=42).collect()
+    # k = min(avail, amount) - n_hard = 9; eligible cross-cluster candidates
+    # excluding the hard pick = 19 >= k, so exactly k rows must come back
+    assert len(got) == 9
+    meta = dict((i, c) for i, c, _g in rows)
+    for r in got:
+        assert r.query_id == 1
+        assert meta[r.cand_id] != 1
+        assert r.cand_id != 185
