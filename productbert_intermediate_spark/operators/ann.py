@@ -50,14 +50,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, vec_id, rank). Ties broken by id."""
     joined = corpus.crossJoin(F.broadcast(queries))
-    cos = array_cosine(F.col(vec_col), F.col(query_vec_col)).alias("_cos")
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc(id_col))
-    return (
-        joined.select(query_id_col, id_col, cos)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank")
-    )
+    return _exact_rerank(joined, k, id_col, vec_col, query_id_col, query_vec_col)
 
 
 def _make_buckets_udf(dim: int, n_bits: int, n_tables: int, seed: int):
@@ -116,14 +109,8 @@ def lsh_topk(
     else:
         q = q.withColumn("_bucket", F.col("_qbucket"))
     joined = c.join(F.broadcast(q.drop("_qbucket")), "_bucket")
-    cos = array_cosine(F.col(vec_col), F.col(query_vec_col)).alias("_cos")
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc(id_col))
-    return (
-        joined.select(query_id_col, id_col, cos)
-        .dropDuplicates([query_id_col, id_col])
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank")
+    return _exact_rerank(
+        joined, k, id_col, vec_col, query_id_col, query_vec_col, dedup=True
     )
 
 
@@ -131,21 +118,56 @@ def lsh_topk(
 # IVF (inverted-file) index: deterministic spherical k-means + cell probing
 
 
+_IVF_SIM_QUANT = 100_000_000  # 1e8: 64 dims × (1e8)^2 = 6.4e17 < int64 max
+
+
 def _assign_cells_udf(centroids: np.ndarray, n_probe: int):
     """pandas UDF: vector → its n_probe nearest centroid ids (cosine,
-    ties broken by centroid id via stable argsort)."""
+    ties broken by centroid id via stable argsort).
+
+    The similarity matmul runs in FIXED-POINT int64 (normalized components
+    quantized to 1e-8), not float64: float BLAS picks gemv- or gemm-shaped
+    kernels by batch shape, whose reduction orders differ by ULPs — enough
+    to flip a near-tie assignment between parallelism levels. Integer
+    matmul is exact and kernel-independent, so assignments are identical
+    for any Arrow batch shape. (Per-row normalization is float but reduces
+    over the row alone, so it is batch-shape independent.)"""
     c = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    c_q = np.round(c * _IVF_SIM_QUANT).astype(np.int64)
 
     @pandas_udf(ArrayType(LongType()))
     def assign(vecs: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
         mat = np.vstack(vecs.to_numpy()).astype(np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = mat @ c.T
-        # stable kind='stable' argsort on -sims → ascending centroid id ties
+        mat_q = np.round(mat * _IVF_SIM_QUANT).astype(np.int64)
+        sims = mat_q @ c_q.T  # integer matmul: exact, no BLAS kernel variance
+        # stable argsort on -sims → ascending centroid id on ties
         order = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
         return pd.Series(list(order.astype(np.int64)))
 
     return assign
+
+
+def _exact_rerank(
+    joined: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    dedup: bool = False,
+) -> DataFrame:
+    """Shared exact-cosine re-rank tail: (query_id, vec_id, rank), ties by id."""
+    cos = array_cosine(F.col(vec_col), F.col(query_vec_col)).alias("_cos")
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc(id_col))
+    out = joined.select(query_id_col, id_col, cos)
+    if dedup:
+        out = out.dropDuplicates([query_id_col, id_col])
+    return (
+        out.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank")
+    )
 
 
 _IVF_QUANT = 1_000_000  # fixed-point scale for order-independent mean sums
@@ -178,6 +200,9 @@ def train_ivf_centroids(
         .collect()
     )
     centroids = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    # a corpus smaller than n_centroids seeds fewer cells — degrade, don't
+    # crash: every row becomes its own cell and Lloyd is a no-op refinement
+    n_centroids = centroids.shape[0]
     dim = centroids.shape[1]
 
     quant = (
@@ -241,11 +266,4 @@ def ivf_topk(
     c = corpus.withColumn("_cell", F.element_at(cell_of(F.col(vec_col)), 1))
     q = queries.withColumn("_cell", F.explode(probes(F.col(query_vec_col))))
     joined = c.join(F.broadcast(q), "_cell")
-    cos = array_cosine(F.col(vec_col), F.col(query_vec_col)).alias("_cos")
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("_cos"), F.asc(id_col))
-    return (
-        joined.select(query_id_col, id_col, cos)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "rank")
-    )
+    return _exact_rerank(joined, k, id_col, vec_col, query_id_col, query_vec_col)

@@ -82,27 +82,39 @@ class MetricTracker:
         self._pending.append(obs)
         return df.observe(obs, *aggs)
 
-    def harvest(self) -> None:
+    def harvest(self, timeout_s: float = 10.0) -> None:
         """Fold every COMPLETED observation into the running totals.
 
-        Non-blocking: an observation whose DataFrame action has not finished
-        (or failed) is left pending for a later harvest instead of parking
-        the driver forever on ``Observation.get`` — a tracker must never be
-        able to hang the pipeline it is instrumenting.
+        Bounded wait: completed actions are always harvested (the JVM
+        observation is filled by a listener thread that can lag the action
+        by more than ``getRowOrEmpty``'s internal 100 ms poll, so each
+        pending observation is re-polled until a SHARED ``timeout_s``
+        deadline). An observation whose action never ran or failed stays
+        pending for a later harvest — the tracker can never park the
+        driver forever the way bare ``Observation.get`` does, and a dead
+        observation costs at most the remaining deadline per harvest call,
+        not an infinite wait.
         """
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
         still_pending = []
         for obs in self._pending:
-            jopt = obs._jo.getRowOrEmpty()
-            if not jopt.isDefined():
-                still_pending.append(obs)
-                continue
-            got = obs.get  # completed → returns immediately
-            for name, val in got.items():
-                key, kind = name.rsplit("__", 1)
-                if kind == "sum":
-                    self._totals[key] += float(val or 0.0)
-                else:
-                    self._counts[key] += int(val or 0)
+            while True:
+                # getRowOrEmpty itself awaits the result up to ~100 ms, so
+                # this loop is a bounded poll, not a busy spin
+                if obs._jo.getRowOrEmpty().isDefined():
+                    got = obs.get  # completed → returns immediately
+                    for name, val in got.items():
+                        key, kind = name.rsplit("__", 1)
+                        if kind == "sum":
+                            self._totals[key] += float(val or 0.0)
+                        else:
+                            self._counts[key] += int(val or 0)
+                    break
+                if _time.monotonic() >= deadline:
+                    still_pending.append(obs)
+                    break
         self._pending = still_pending
 
     def avg(self, key: str) -> float | None:

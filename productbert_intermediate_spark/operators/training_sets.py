@@ -208,28 +208,27 @@ def random_negative_pairs(
         F.xxhash64(F.col("query_id"), F.lit(seed)), F.col("_n")
     ).cast("long")
     # eligibility-aware window: expected eligible hits in `window` probes is
-    # window · eligible / n; demanding oversample × k of them gives the
-    # formula below. When eligibility is scarce (≤ 2k) probe the whole
-    # category — the permutation-order walk then degenerates to the exact
-    # reject-everything-ineligible scan, returning min(k, eligible) rows.
+    # window · eligible / n; demanding oversample·k + 8 of them makes the
+    # shortfall probability ≈ P(Poisson(oversample·k + 8) < k) — negligible
+    # for every k. Queries with SCARCE eligibility (≤ 2k) take a separate
+    # branch below that walks the whole permutation as a streamed join.
     eligible = F.greatest(
         F.col("_n") - F.col("_qcn") - F.col("_nh"), F.lit(0)
     )
-    window = F.when(eligible <= F.col("_k") * 2, F.col("_n")).otherwise(
-        F.least(
-            F.col("_n"),
-            F.greatest(
-                F.col("_k") * oversample,
-                F.ceil(
-                    F.lit(float(oversample))
-                    * F.col("_k")
-                    * F.col("_n")
-                    / eligible
-                ).cast("long"),
+    headroom = F.col("_k") * oversample + F.lit(8)
+    window = F.least(
+        F.col("_n"),
+        F.greatest(
+            headroom,
+            F.ceil(headroom.cast("double") * F.col("_n") / eligible).cast(
+                "long"
             ),
-        )
+        ),
     )
-    probes = queries.withColumn("_k", n_rand).where(F.col("_k") > 0).select(
+    active = queries.withColumn("_k", n_rand).where(F.col("_k") > 0)
+    scarce_cond = eligible <= F.col("_k") * 2
+
+    probes = active.where(~scarce_cond).select(
         group_col, "query_id", "_qc", "_n", "_k", base.alias("_base"),
         F.explode(F.sequence(F.lit(1), window)).alias("_i"),
     ).withColumn("_pos", F.pmod(F.col("_base") + F.col("_i"), F.col("_n")))
@@ -243,9 +242,35 @@ def random_negative_pairs(
             "left_anti",
         )
     )
+    # Scarce branch: almost everything in the category is ineligible, so a
+    # probe walk would need window ≈ n — exploding n sequence rows PER QUERY
+    # (quadratic in the category). Instead join the query directly to the
+    # category's permutation (streamed equi-join on the category key, no
+    # exploded shuffle), filter to eligible, and order by each candidate's
+    # distance along the permutation walk from the query's seed position —
+    # exactly the rows and order the window walk would have produced.
+    scarce = active.where(scarce_cond).select(
+        group_col, "query_id", "_qc", "_n", "_k", base.alias("_base")
+    )
+    joined_scarce = (
+        scarce.join(perm, group_col)
+        .where(F.col("_cc") != F.col("_qc"))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .join(
+            hard.select("query_id", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
+        .withColumn(
+            "_i",
+            F.pmod(F.col("_pos") - F.col("_base") - 1, F.col("_n")) + 1,
+        )
+    )
+    cols = ["query_id", "cand_id", "_k", "_i"]
+    all_hits = joined.select(*cols).unionByName(joined_scarce.select(*cols))
     w_pick = Window.partitionBy("query_id").orderBy("_i")
     return (
-        joined.withColumn("_r", F.row_number().over(w_pick))
+        all_hits.withColumn("_r", F.row_number().over(w_pick))
         .where(F.col("_r") <= F.col("_k"))
         .select("query_id", "cand_id")
     )

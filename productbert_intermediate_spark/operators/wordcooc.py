@@ -22,16 +22,19 @@ from ..functions.text import tokenize
 
 
 def build_vocabulary(
-    strings: DataFrame, text_col: str = "text", min_df: int = 2
+    strings: DataFrame, text_col: str = "text", min_df: int = 2, splitter=None
 ) -> DataFrame:
     """Distinct tokens with df ≥ min_df over the input strings → (token, df).
 
     Spark analog of CountVectorizer(min_df=2, binary=True).fit
     (process-to-wordcooc.py:52-65): binary df = number of rows whose token
-    SET contains the token.
+    SET contains the token. ``splitter`` overrides the tokenizer (default
+    whitespace-run ``tokenize``) — e.g. single-space split for callers whose
+    downstream encoder splits that way.
     """
+    split_fn = splitter or tokenize
     toks = strings.select(
-        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("token")
+        F.explode(F.array_distinct(split_fn(F.col(text_col)))).alias("token")
     )
     return (
         toks.groupBy("token")

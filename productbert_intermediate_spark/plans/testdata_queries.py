@@ -1152,20 +1152,20 @@ def q_bert_pair_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from ..functions.bert_encode import WordPieceVocab, encode_pairs
+    from ..operators.wordcooc import build_vocabulary
 
     docs = _t(spark, sf_dir, "documents")
     # Vocabulary df counts use the SAME single-space split as the encoder
     # (bert_encode.tokenize, wordpiece=False) and the oracle's string_split —
-    # build_vocabulary's whitespace-run tokenize() would diverge on texts
+    # the default whitespace-run tokenize() would diverge on texts
     # containing tabs/newlines/double spaces.
     vocab_tokens = [
         r["token"]
-        for r in docs.select(
-            F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+        for r in build_vocabulary(
+            docs.select("text"),
+            min_df=100,
+            splitter=lambda c: F.split(c, " "),
         )
-        .groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") >= 100)
         .orderBy("token")
         .collect()
     ]

@@ -144,3 +144,22 @@ def test_dense_ids_single_partition_and_tiny(spark):
     # more partitions than rows
     rows = sorted(dense_ids(df, "key", num_partitions=64).collect())
     assert [r["dense_id"] for r in rows] == [0, 1, 2]
+
+
+def test_metric_tracker_never_run_action_does_not_hang(spark):
+    """An attached df whose action never executed must not block harvest
+    forever (bare Observation.get would); it stays pending and folds in
+    once the action eventually runs."""
+    import time
+
+    tracker = MetricTracker("x")
+    df = tracker.attach(
+        spark.createDataFrame([(1.0,)], "x double"), x=F.col("x")
+    )
+    t0 = time.monotonic()
+    tracker.harvest(timeout_s=0.5)
+    assert time.monotonic() - t0 < 5.0
+    assert tracker.avg("x") is None and len(tracker._pending) == 1
+    df.count()
+    tracker.harvest()
+    assert tracker.avg("x") == 1.0 and not tracker._pending

@@ -309,3 +309,24 @@ def test_ivf_topk_recall_and_determinism(spark, emb):
     # retraining from scratch reproduces the same centroids bit-for-bit
     cents2 = train_ivf_centroids(emb, n_centroids=16, n_iters=4)
     assert (cents == cents2).all()
+
+
+def test_ivf_topk_corpus_smaller_than_n_centroids(spark, emb):
+    """A corpus with fewer rows than n_centroids must degrade to one cell
+    per row, not crash with a shape mismatch in the Lloyd update."""
+    from productbert_intermediate_spark.operators.ann import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    tiny = emb.where(F.col("vec_id") < 10)
+    q = _queries(tiny, n=2)
+    # every cell probed (n_probe >= actual cells) → must equal brute force
+    got = {
+        tuple(r)
+        for r in ivf_topk(
+            tiny, q, k=5, n_centroids=16, n_probe=16, n_iters=2
+        ).collect()
+    }
+    exact = {tuple(r) for r in brute_force_topk(tiny, q, k=5).collect()}
+    assert got == exact
