@@ -49,6 +49,26 @@ def _md5(col):
     return F.md5(F.encode(col, "utf-8"))
 
 
+def _ranked_from_topk(top: DataFrame, sort_col: str, id_col: str, rank_name: str) -> DataFrame:
+    """(already-limited top-k frame) → (id_col, rank_name) with rank = the
+    1-based position under (sort_col asc, id_col asc).
+
+    Shared tail for global-top-k queries: the k survivors of an
+    orderBy().limit(k) (TakeOrderedAndProject — parallel per-partition
+    top-k) are ranked by sorting them inside ONE aggregated array, so no
+    single-partition WindowExec appears anywhere in the plan."""
+    return (
+        top.agg(
+            F.sort_array(F.collect_list(F.struct(sort_col, id_col))).alias("a")
+        )
+        .select(F.posexplode("a").alias("p", "s"))
+        .select(
+            F.col(f"s.{id_col}").alias(id_col),
+            (F.col("p") + 1).alias(rank_name),
+        )
+    )
+
+
 _STOP_SQL = ",".join("'" + w.replace("'", "''") + "'" for w in ENGLISH_STOPWORDS)
 
 
@@ -453,11 +473,6 @@ from documents group by lang
 
 
 def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Global top-k WITHOUT a global window: orderBy().limit(k) compiles to
-    # TakeOrderedAndProject (each partition contributes its local top-k in
-    # parallel; the driver merges k·P rows), then ranks are assigned by
-    # sorting the k survivors inside one aggregated array — no
-    # single-partition WindowExec anywhere in the plan.
     docs = _t(spark, sf_dir, "documents")
     key = _md5(F.concat(F.col("doc_id").cast("string"), F.lit(":seed42")))
     top = (
@@ -465,13 +480,7 @@ def q_det_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("shuffle_key")
         .limit(20)
     )
-    return (
-        top.agg(
-            F.sort_array(F.collect_list(F.struct("shuffle_key", "doc_id"))).alias("a")
-        )
-        .select(F.posexplode("a").alias("p", "s"))
-        .select(F.col("s.doc_id").alias("doc_id"), (F.col("p") + 1).alias("pos"))
-    )
+    return _ranked_from_topk(top, "shuffle_key", "doc_id", "pos")
 
 
 SQL_DET_SHUFFLE = """
@@ -1792,16 +1801,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.select("vec_id", cos)
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
+        # negation is exact for doubles, so ascending `nc` == descending cos
+        .select("vec_id", (-F.col("cos")).alias("nc"))
     )
-    return (
-        top.agg(
-            F.sort_array(
-                F.collect_list(F.struct((-F.col("cos")).alias("nc"), "vec_id"))
-            ).alias("a")
-        )
-        .select(F.posexplode("a").alias("p", "s"))
-        .select(F.col("s.vec_id").alias("vec_id"), (F.col("p") + 1).alias("rank"))
-    )
+    return _ranked_from_topk(top, "nc", "vec_id", "rank")
 
 
 # Oracle mirrors the Spark arithmetic exactly: float32 inputs widened to
