@@ -49,7 +49,11 @@ def tokenize(col: Column, delimiter: str | None = None) -> Column:
     like str.split(sep).
     """
     if delimiter is None:
-        trimmed = F.trim(col)
+        # regex trim, NOT F.trim: trim() strips only 0x20 spaces, so a
+        # tab/newline-only string would survive it and split into empty
+        # tokens — Python str.split() returns [] for ANY all-whitespace
+        # input, and this must match it byte-for-byte.
+        trimmed = F.regexp_replace(col, r"^\s+|\s+$", "")
         arr = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
             F.split(trimmed, r"\s+")
         )

@@ -112,12 +112,17 @@ with raw as (
            else text end as r
   from documents
 ), s1 as (
+  -- falsy input (NULL or '') → NULL, the reference's `if not words: return
+  -- None` guard (utils.py:18-19); NULL then propagates through every stage
   select doc_id,
-         case when strpos(r, '"') > 0 then substr(r, strpos(r, '"') + 1) else '' end as t
+         case when r is null or r = '' then null
+              when strpos(r, '"') > 0 then substr(r, strpos(r, '"') + 1)
+              else '' end as t
   from raw
 ), s2 as (
   select doc_id,
-         case when strpos(reverse(t), '"') > 0
+         case when t is null then null
+              when strpos(reverse(t), '"') > 0
               then substr(t, 1, length(t) - strpos(reverse(t), '"'))
               else '' end as t
   from s1
@@ -548,10 +553,19 @@ def q_stopword_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_STOPWORD_REMOVAL = f"""
+# whitespace-RUN split dropping empties = Python str.split() = reference
+# utils.remove_stopwords→tokenize(None); single-space string_split would
+# keep tabs/newlines inside tokens and empty tokens for doubled spaces.
+# DuckDB's array_to_string on an EMPTY list yields NULL (not ''), so the
+# all-whitespace/all-stopword case needs the coalesce; true NULL input
+# stays NULL via the outer case.
+SQL_STOPWORD_REMOVAL = rf"""
 select doc_id,
-       array_to_string(list_filter(string_split(text, ' '),
-                                   x -> x not in ({_STOP_SQL})), ' ') as filtered_text
+       case when text is null then null
+            else coalesce(array_to_string(
+              list_filter(regexp_split_to_array(text, '\s+'),
+                          x -> x <> '' and x not in ({_STOP_SQL})), ' '), '')
+       end as filtered_text
 from documents
 """
 
@@ -1077,9 +1091,14 @@ def q_vocab_min_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_vocabulary(docs.select("text"), min_df=100)
 
 
-SQL_VOCAB_MIN_DF = """
+# tokenization mirrors build_vocabulary's default tokenize(): whitespace-run
+# split, empties dropped (Python str.split() semantics)
+SQL_VOCAB_MIN_DF = r"""
 with tok as (
-  select doc_id, unnest(list_distinct(string_split(text, ' '))) as token
+  select doc_id,
+         unnest(list_distinct(
+           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+         )) as token
   from documents
 )
 select token, count(*) as df from tok group by token having count(*) >= 100
@@ -1116,7 +1135,7 @@ def q_wordcooc_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_left", "doc_right", "cooc_count")
 
 
-SQL_WORDCOOC_FEATURE = """
+SQL_WORDCOOC_FEATURE = r"""
 with numbered as (
   select doc_id, source, text,
          row_number() over (partition by source order by doc_id) as rn
@@ -1127,15 +1146,21 @@ with numbered as (
   from numbered l join numbered r
     on l.source = r.source and l.rn % 2 = 1 and r.rn = l.rn + 1
 ), vocab as (
+  -- whitespace-run split dropping empties = tokenize() / Python str.split()
   select token from (
-    select unnest(list_distinct(string_split(text, ' '))) as token
+    select unnest(list_distinct(
+      list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+    )) as token
     from (select text_left as text from pairs
           union all select text_right from pairs)
   ) group by token having count(*) >= 2
 ), inter as (
   select doc_left, doc_right,
-         unnest(list_intersect(list_distinct(string_split(text_left, ' ')),
-                               list_distinct(string_split(text_right, ' ')))) as token
+         unnest(list_intersect(
+           list_distinct(list_filter(regexp_split_to_array(text_left, '\s+'),
+                                     x -> x <> '')),
+           list_distinct(list_filter(regexp_split_to_array(text_right, '\s+'),
+                                     x -> x <> '')))) as token
   from pairs
 ), counted as (
   select doc_left, doc_right, count(*) as cooc_count
@@ -1225,29 +1250,38 @@ with tok as (
          row_number() over (partition by source order by doc_id) as rn
   from documents
 ), pairs as (
+  -- NULL-text docs keep their row number (mirroring the Spark window) but
+  -- their pairs are dropped on both engines — a missing doc can't encode
   select l.doc_id as doc_left, r.doc_id as doc_right,
          l.text as text_left, r.text as text_right
   from numbered l join numbered r
     on l.source = r.source and l.rn % 2 = 1 and r.rn = l.rn + 1
+  where l.text is not null and r.text is not null
 ), used as (
   select doc_left as doc_id, text_left as text from pairs
   union all
   select doc_right, text_right from pairs
 ), tp as (
+  -- text = '' encodes to ZERO tokens (the encoder's HF-like behavior),
+  -- not one [UNK] from string_split('') = ['']; such docs fall out here
+  -- and re-enter via the left join + empty-list coalesce below
   select doc_id,
          unnest(string_split(text, ' ')) as t,
          unnest(range(1, len(string_split(text, ' ')) + 1)) as pos
-  from used
+  from used where text <> ''
 ), ids as (
   select tp.doc_id, list(coalesce(vocab.id, 1) order by tp.pos) as ids
   from tp left join vocab on tp.t = vocab.token
   group by tp.doc_id
 ), enc as (
-  select p.doc_left, p.doc_right, la.ids as ia, ra.ids as ib,
-         len(la.ids) as na, len(ra.ids) as nb
+  select p.doc_left, p.doc_right,
+         coalesce(la.ids, cast([] as bigint[])) as ia,
+         coalesce(ra.ids, cast([] as bigint[])) as ib,
+         len(coalesce(la.ids, cast([] as bigint[]))) as na,
+         len(coalesce(ra.ids, cast([] as bigint[]))) as nb
   from pairs p
-  join ids la on p.doc_left = la.doc_id
-  join ids ra on p.doc_right = ra.doc_id
+  left join ids la on p.doc_left = la.doc_id
+  left join ids ra on p.doc_right = ra.doc_id
 ), cut as (
   select doc_left, doc_right, ia, ib,
          case when na + nb <= {_BERT_MAX_LEN - 3} then na
