@@ -1058,8 +1058,12 @@ def q_er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ER_BLOCKING_PAIRS = r"""
 with tok as (
+  -- whitespace-run split dropping empties = token_set()/tokenize() =
+  -- Python str.split(); single-space string_split diverges on tabs etc.
   select doc_id, source,
-         unnest(list_distinct(string_split(lower(text), ' '))) as t
+         unnest(list_distinct(
+           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+         )) as t
   from documents
 ), grp as (
   select source, count(*) as n from documents group by source

@@ -49,6 +49,9 @@ FUZZ_QUERIES = [
     "histogram",
     "token_stats",
     "distinct_count",
+    "er_blocking_pairs",
+    "training_neg_knn",
+    "connected_components",
 ]
 
 _NASTY = [
