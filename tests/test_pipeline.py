@@ -99,3 +99,33 @@ def test_pipeline_deterministic_across_workdirs(spark, e2e_dir, e2e_run, tmp_pat
     e1 = sorted(map(tuple, cat1.read("entities").collect()))
     e2 = sorted(map(tuple, cat2.read("entities").collect()))
     assert e1 == e2
+
+
+def test_pipeline_stages_survive_degenerate_corpora(spark):
+    """Empty and single-offer corpora flow through block → score → cluster
+    without crashing: zero candidates, and a lone offer becomes its own
+    entity (isolated-node path of assign_entities)."""
+    from pyspark.sql import functions as F
+
+    from productbert_intermediate_spark.operators import blocking as B
+    from productbert_intermediate_spark.operators import scoring as S
+    from productbert_intermediate_spark.operators.clustering import assign_entities
+
+    schema = (
+        "id long, url string, cluster_id long, category string, title string,"
+        " description string, brand string, price string, specTableContent string"
+    )
+    empty = spark.createDataFrame([], schema)
+    one = spark.createDataFrame(
+        [(1, "u", 1, "c", "solo item title", None, None, None, None)], schema
+    )
+    for offers, want_entities in ((empty, 0), (one, 1)):
+        pairs = B.block_offers(offers)
+        assert pairs.count() == 0
+        scored = S.score_candidates(pairs, offers)
+        assert scored.count() == 0
+        ents = assign_entities(offers, scored.where("match"))
+        assert ents.count() == want_entities
+        if want_entities:
+            row = ents.collect()[0]
+            assert row.entity_id == row.id
