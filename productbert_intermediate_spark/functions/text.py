@@ -49,14 +49,15 @@ def tokenize(col: Column, delimiter: str | None = None) -> Column:
     like str.split(sep).
     """
     if delimiter is None:
-        # regex trim, NOT F.trim: trim() strips only 0x20 spaces, so a
+        # Python str.split() parity in ONE regex pass: splitting on \s+
+        # leaves empty strings only at the array edges (leading/trailing
+        # whitespace; interior runs are consumed), and array_remove drops
+        # them. NOT F.trim — trim() strips only 0x20 spaces, so a
         # tab/newline-only string would survive it and split into empty
-        # tokens — Python str.split() returns [] for ANY all-whitespace
-        # input, and this must match it byte-for-byte.
-        trimmed = F.regexp_replace(col, r"^\s+|\s+$", "")
-        arr = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-            F.split(trimmed, r"\s+")
-        )
+        # tokens, where Python returns []. This expression runs per pair
+        # in the scoring feature stage, so the extra regexp_replace-trim
+        # pass of the naive form is a measurable cost.
+        arr = F.array_remove(F.split(col, r"\s+"), "")
     else:
         import re as _re
 
