@@ -63,21 +63,30 @@ def prune_tokens_by_df(
 
     Returns offers with ``tokens`` replaced by the pruned array and ``tok_df``
     (aligned df counts, ascending-rarity sorted) added for rare-token keys.
+
+    NULL group values form their own group: the df aggregation and the
+    token re-join run on a null-coalesced key, because plain equi-joins
+    treat NULL != NULL — without this, every NULL-category offer would
+    lose all its tokens here and silently never enter a candidate pair.
     """
-    toks = offers.select("id", group_col, F.explode("tokens").alias("token"))
-    group_sizes = offers.groupBy(group_col).agg(F.count("*").alias("_n"))
+    gn = "_gnorm"
+    base = offers.withColumn(
+        gn, F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>"))
+    )
+    toks = base.select("id", gn, F.explode("tokens").alias("token"))
+    group_sizes = base.groupBy(gn).agg(F.count("*").alias("_n"))
     df_counts = (
-        toks.groupBy(group_col, "token")
+        toks.groupBy(gn, "token")
         .agg(F.count("*").alias("df"))
-        .join(group_sizes, group_col)
+        .join(group_sizes, gn)
         .where(
             (F.col("df") >= min_df)
             & (F.col("df") <= (F.col("_n") * F.lit(max_df_frac)))
         )
-        .select(group_col, "token", "df")
+        .select(gn, "token", "df")
     )
     kept = (
-        toks.join(df_counts, [group_col, "token"])
+        toks.join(df_counts, [gn, "token"])
         .groupBy("id")
         .agg(
             F.array_sort(F.collect_list(F.struct("df", "token"))).alias("_dt"),
@@ -118,9 +127,11 @@ def rare_token_keys(
         F.col("tokens").alias("token"),
     )
     rare = F.filter(zipped, lambda s: s["df"] <= max_rare_df)
+    # NULL group → explicit sentinel: concat_ws silently SKIPS null args,
+    # which would emit a shorter key that can't be told apart by segment
     return offers.select(
         "id",
-        F.col(group_col).alias("_g"),
+        F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>")).alias("_g"),
         F.explode(rare).alias("_s"),
     ).select(
         "id",
@@ -138,6 +149,12 @@ def minhash_band_keys(
 
     minhash_s = min(xxhash64(token, s)); band key = hash of its row slice.
     """
+    if bands <= 0 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands}); otherwise trailing hashes are computed but "
+            "silently dropped from every band key"
+        )
     rows = num_hashes // bands
 
     def _mh(seed: int):
@@ -150,7 +167,9 @@ def minhash_band_keys(
 
     sig = [_mh(s) for s in range(num_hashes)]
     with_sig = offers.where(F.size("tokens") > 0).select(
-        "id", F.col(group_col).alias("_g"), *sig
+        "id",
+        F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>")).alias("_g"),
+        *sig,
     )
     band_keys = [
         F.concat_ws(

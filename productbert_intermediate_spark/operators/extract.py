@@ -37,10 +37,14 @@ _RAW_SCHEMA = StructType(
     [StructField(f"raw_{f}", StringType()) for f in _FIELDS]
 )
 
+# Schema of extract_offers OUTPUT (distinct from sources.readers.OFFER_SCHEMA,
+# which describes the synthetic truth table: that one carries cluster_id and
+# no url). id IS nullable here: a page without a numeric <<sku>> extracts
+# id=NULL, and the pipeline filters those explicitly (plans/pipeline.py).
 OFFER_SCHEMA = StructType(
     [
-        StructField("id", LongType(), False),
-        StructField("url", StringType(), False),
+        StructField("id", LongType(), True),
+        StructField("url", StringType(), True),
         StructField("category", StringType(), True),
         StructField("title", StringType(), True),
         StructField("description", StringType(), True),
@@ -86,7 +90,13 @@ def extract_offers(
     df = pages.select("url", "warc_ts", "text", "lang").where(F.col("lang") == lang)
 
     if dedup_latest_crawl:
-        w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+        # content-hash tiebreak: two crawls of one url can share a warc_ts
+        # (source timestamp granularity), and row_number over a non-unique
+        # ordering would pick a partition-layout-dependent winner — breaking
+        # the pipeline's determinism/byte-identity guarantee
+        w = Window.partitionBy("url").orderBy(
+            F.desc("warc_ts"), F.xxhash64("text")
+        )
         df = (
             df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)

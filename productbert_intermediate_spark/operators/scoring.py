@@ -151,6 +151,43 @@ def blocking_text(side: str, desc_tokens: int = 5):
     return F.lower(F.concat_ws(" ", title, desc5))
 
 
+# Shared feature-column builders: pair_features (the calibration-time path,
+# scripts/calibrate.py fits DEFAULT_WEIGHTS on these) and
+# build_pair_features_narrow (the scoring-time path) MUST compute identical
+# expressions, or calibrated weights silently stop matching the features
+# they are applied to. One definition each, used by both.
+
+
+def _price_value(col_name: str):
+    cleaned = F.regexp_replace(
+        F.coalesce(F.col(col_name), F.lit("")), "[^0-9.]", ""
+    )
+    return F.when(cleaned.rlike(r"^[0-9]+(\.[0-9]+)?$"), cleaned.cast("double"))
+
+
+def _price_sim_col():
+    pl = _price_value("price_left")
+    pr = _price_value("price_right")
+    return F.when(pl.isNull() | pr.isNull(), 0.5).otherwise(
+        1.0 - F.least(F.lit(1.0), F.abs(pl - pr) / F.greatest(pl, pr, F.lit(1e-9)))
+    )
+
+
+def _brand_match_col():
+    return F.when(
+        F.col("brand_left").isNull() | F.col("brand_right").isNull(), 0.5
+    ).otherwise((F.lower("brand_left") == F.lower("brand_right")).cast("double"))
+
+
+def _digit_jac_col(dtoks_l, dtoks_r):
+    # jaccard over digit-bearing tokens: product codes / MPNs are the
+    # highest-precision match signal in product ER (the reference's corpus
+    # carries them inside titles; matching papers key on them)
+    return F.when(
+        (F.size(dtoks_l) == 0) & (F.size(dtoks_r) == 0), 0.5
+    ).otherwise(token_jaccard(dtoks_l, dtoks_r))
+
+
 def pair_features(hydrated: DataFrame) -> DataFrame:
     """Add the FEATURES columns to a hydrated pair table.
 
@@ -177,38 +214,14 @@ def pair_features(hydrated: DataFrame) -> DataFrame:
 
     title_l = F.coalesce(F.col("title_left"), F.lit(""))
     title_r = F.coalesce(F.col("title_right"), F.lit(""))
-    price_l = F.regexp_replace(F.coalesce(F.col("price_left"), F.lit("")), "[^0-9.]", "")
-    price_r = F.regexp_replace(F.coalesce(F.col("price_right"), F.lit("")), "[^0-9.]", "")
-    pl = F.when(price_l.rlike(r"^[0-9]+(\.[0-9]+)?$"), price_l.cast("double"))
-    pr = F.when(price_r.rlike(r"^[0-9]+(\.[0-9]+)?$"), price_r.cast("double"))
     df = (
         df.withColumn("emb_cos", emb_cos)
         .withColumn("jw_title", jaro_winkler_udf(F.lower(title_l), F.lower(title_r)))
         .withColumn("lev_title", levenshtein_norm(F.lower(title_l), F.lower(title_r)))
         .withColumn("jac_tokens", token_jaccard(toks_l, toks_r))
-        .withColumn(
-            # jaccard over digit-bearing tokens: product codes / MPNs are the
-            # highest-precision match signal in product ER (the reference's
-            # corpus carries them inside titles; matching papers key on them)
-            "digit_jac",
-            F.when(
-                (F.size(dtoks_l) == 0) & (F.size(dtoks_r) == 0), 0.5
-            ).otherwise(token_jaccard(dtoks_l, dtoks_r)),
-        )
-        .withColumn(
-            "brand_match",
-            F.when(
-                F.col("brand_left").isNull() | F.col("brand_right").isNull(), 0.5
-            ).otherwise(
-                (F.lower("brand_left") == F.lower("brand_right")).cast("double")
-            ),
-        )
-        .withColumn(
-            "price_sim",
-            F.when(pl.isNull() | pr.isNull(), 0.5).otherwise(
-                1.0 - F.least(F.lit(1.0), F.abs(pl - pr) / F.greatest(pl, pr, F.lit(1e-9)))
-            ),
-        )
+        .withColumn("digit_jac", _digit_jac_col(dtoks_l, dtoks_r))
+        .withColumn("brand_match", _brand_match_col())
+        .withColumn("price_sim", _price_sim_col())
     )
     drop_cols = [c for c in ("_seq_l", "_seq_r") if c in df.columns]
     drop_cols += [c for c in df.columns if c.startswith(("_btext", "_emb", "_toks", "_dtoks"))]
@@ -343,10 +356,6 @@ def build_pair_features_narrow(
 
     title_l = F.lower(F.coalesce(F.col("title_left"), F.lit("")))
     title_r = F.lower(F.coalesce(F.col("title_right"), F.lit("")))
-    price_l = F.regexp_replace(F.coalesce(F.col("price_left"), F.lit("")), "[^0-9.]", "")
-    price_r = F.regexp_replace(F.coalesce(F.col("price_right"), F.lit("")), "[^0-9.]", "")
-    pl = F.when(price_l.rlike(r"^[0-9]+(\.[0-9]+)?$"), price_l.cast("double"))
-    pr = F.when(price_r.rlike(r"^[0-9]+(\.[0-9]+)?$"), price_r.cast("double"))
     passthrough = [c for c in pairs.columns if c not in ("id_l", "id_r")]
     text_cols = (
         [
@@ -364,21 +373,9 @@ def build_pair_features_narrow(
         *passthrough,
         levenshtein_norm(title_l, title_r).alias("lev_title"),
         token_jaccard(F.col("_toks_left"), F.col("_toks_right")).alias("jac_tokens"),
-        F.when(
-            (F.size("_dtoks_left") == 0) & (F.size("_dtoks_right") == 0), 0.5
-        )
-        .otherwise(token_jaccard(F.col("_dtoks_left"), F.col("_dtoks_right")))
-        .alias("digit_jac"),
-        F.when(
-            F.col("brand_left").isNull() | F.col("brand_right").isNull(), 0.5
-        )
-        .otherwise((F.lower("brand_left") == F.lower("brand_right")).cast("double"))
-        .alias("brand_match"),
-        F.when(pl.isNull() | pr.isNull(), 0.5)
-        .otherwise(
-            1.0 - F.least(F.lit(1.0), F.abs(pl - pr) / F.greatest(pl, pr, F.lit(1e-9)))
-        )
-        .alias("price_sim"),
+        _digit_jac_col(F.col("_dtoks_left"), F.col("_dtoks_right")).alias("digit_jac"),
+        _brand_match_col().alias("brand_match"),
+        _price_sim_col().alias("price_sim"),
         *text_cols,
     )
     # Deliberate exchange between the JVM feature map and the Python stage:

@@ -54,15 +54,33 @@ class StageCatalog:
         entries = [e for e in self.manifest_entries() if e["stage"] == name]
         return entries[-1] if entries else None
 
+    def _params_token_path(self, name: str) -> str:
+        return os.path.join(self.path(name), "_PARAMS")
+
     def exists(self, name: str, params_key: str | None = None) -> bool:
-        """Stage complete: _SUCCESS marker + manifest entry (+ params match)."""
+        """Stage complete: _SUCCESS marker + manifest entry (+ params match).
+
+        The params check consults BOTH the manifest entry and the `_PARAMS`
+        token written inside the stage directory after the data commit: the
+        manifest alone cannot identify which data it describes — a crash
+        between a rewrite's parquet commit and its manifest append leaves
+        NEW data under the OLD manifest entry, and resuming from the
+        manifest would serve wrong-params data as a valid checkpoint.
+        """
         if not os.path.exists(os.path.join(self.path(name), "_SUCCESS")):
             return False
         entry = self.latest_entry(name)
         if entry is None:
             return False
-        if params_key is not None and entry.get("params_key") != params_key:
-            return False
+        if params_key is not None:
+            if entry.get("params_key") != params_key:
+                return False
+            token_path = self._params_token_path(name)
+            if not os.path.exists(token_path):
+                return False
+            with open(token_path) as f:
+                if json.load(f).get("params_key") != params_key:
+                    return False
         return True
 
     # ----------------------------------------------------------- write/read
@@ -86,13 +104,18 @@ class StageCatalog:
         writer.parquet(target)
         wall = time.time() - start
 
+        import re as _re
+
         written = self.spark.read.parquet(target)
+        # lineage key = path RELATIVE to the table root (partition dirs
+        # kept): partitioned writes give files in different partition
+        # directories identical basenames (same task + job UUID), so a
+        # basename key would merge distinct physical files
+        rel_file = F.regexp_replace(
+            F.input_file_name(), r".*/" + _re.escape(name) + "/", ""
+        )
         per_file = (
-            written.groupBy(
-                F.regexp_extract(
-                    F.input_file_name(), r"([^/]+\.parquet)", 1
-                ).alias("file")
-            )
+            written.groupBy(rel_file.alias("file"))
             .agg(
                 F.count("*").alias("rows"),
                 F.bit_xor(F.xxhash64(*written.columns)).alias("checksum"),
@@ -120,6 +143,12 @@ class StageCatalog:
             "wall_sec": round(wall, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        # commit order: data (_SUCCESS) → _PARAMS token → manifest append.
+        # A crash between any two leaves exists() False for every key (the
+        # token and manifest must BOTH match), so a later run rebuilds
+        # instead of resuming from mismatched data.
+        with open(self._params_token_path(name), "w") as f:
+            json.dump({"params_key": params_key}, f)
         with open(self.manifest_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
         return entry

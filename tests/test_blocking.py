@@ -137,3 +137,40 @@ def test_candidate_pairs_canonical_and_distinct(spark, fixtures_dir):
     pairs = B.block_offers(_offers(spark, fixtures_dir)).toPandas()
     assert (pairs["id_l"] < pairs["id_r"]).all()
     assert not pairs.duplicated(["id_l", "id_r"]).any()
+
+
+def test_null_category_offers_still_block_together(spark):
+    """Offers with NULL category must form their own blocking group, not be
+    silently dropped by null-hostile equi-joins in the df pruning."""
+    from productbert_intermediate_spark.operators import blocking as B
+
+    rows = []
+    for i in range(6):
+        # three matching pairs sharing a rare token each, category NULL
+        rows.append((10 + i, None, f"widget alpha{i // 2} common", None))
+    for i in range(4):
+        rows.append((50 + i, "cat", f"gadget beta{i // 2} common", None))
+    offers = spark.createDataFrame(
+        rows, "id long, category string, title string, description string"
+    )
+    pairs = {
+        (r.id_l, r.id_r)
+        for r in B.block_offers(offers, min_df=2, max_df_frac=0.9).collect()
+    }
+    assert (10, 11) in pairs and (12, 13) in pairs and (14, 15) in pairs
+    assert (50, 51) in pairs and (52, 53) in pairs
+    # no cross-group pairs between NULL-category and 'cat' offers
+    assert not any(a < 50 <= b for a, b in pairs)
+
+
+def test_minhash_band_divisibility_guard(spark):
+    import pytest as _pytest
+
+    from productbert_intermediate_spark.operators import blocking as B
+
+    offers = spark.createDataFrame(
+        [(1, "c", "a b c", None)],
+        "id long, category string, title string, description string",
+    )
+    with _pytest.raises(ValueError):
+        B.block_offers(offers, num_hashes=16, bands=5)

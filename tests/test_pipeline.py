@@ -129,3 +129,43 @@ def test_pipeline_stages_survive_degenerate_corpora(spark):
         if want_entities:
             row = ents.collect()[0]
             assert row.entity_id == row.id
+
+
+def test_partitioned_write_manifest_has_distinct_file_lineage(spark, tmp_path_factory):
+    """Partitioned writes name files in different partition dirs with the
+    SAME basename; the manifest must key lineage by root-relative path, or
+    distinct physical files merge into one entry."""
+    from productbert_intermediate_spark.sources.catalog import StageCatalog
+
+    cat = StageCatalog(spark, str(tmp_path_factory.mktemp("cat_part")))
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(100)], "id long, part string"
+    ).repartition(2)
+    entry = cat.write("t", df, params_key="k", partition_by=["part"])
+    files = [p["file"] for p in entry["partitions"]]
+    assert len(files) == len(set(files))
+    assert all("part=" in f for f in files), files
+    assert sum(p["rows"] for p in entry["partitions"]) == 100
+
+
+def test_stale_params_token_blocks_resume(spark, tmp_path_factory):
+    """A crash between a rewrite's data commit and its manifest append must
+    not let the OLD manifest entry resurrect the NEW data as a valid
+    checkpoint: exists() requires the in-directory _PARAMS token to agree."""
+    import os
+
+    from productbert_intermediate_spark.sources.catalog import StageCatalog
+
+    cat = StageCatalog(spark, str(tmp_path_factory.mktemp("cat_tok")))
+    df = spark.range(5)
+    cat.write("s", df, params_key="A")
+    assert cat.exists("s", "A")
+    # simulate the crash window: new data + new token on disk, manifest
+    # still carrying the old entry (append never happened)
+    with open(cat._params_token_path("s"), "w") as f:
+        f.write('{"params_key": "B"}')
+    assert not cat.exists("s", "A")
+    assert not cat.exists("s", "B")
+    # missing token (crash before token write) is equally not resumable
+    os.remove(cat._params_token_path("s"))
+    assert not cat.exists("s", "A")
