@@ -183,10 +183,14 @@ def levenshtein_norm(a: Column, b: Column) -> Column:
 
 
 def token_jaccard(a: Column, b: Column) -> Column:
-    """Jaccard over token arrays: |a∩b| / |a∪b| — JVM-side."""
+    """Jaccard over token arrays: |a∩b| / |a∪b| — JVM-side. NULL-safe:
+    a NULL array scores 0.0, never a bogus verdict — on Spark 3's legacy
+    size(null) = -1 two NULL arrays would otherwise score (-1)/(-1) = 1.0
+    (perfect similarity for missing data), and under Spark 4 ANSI the
+    expression silently yields NULL."""
     inter = F.size(F.array_intersect(a, b))
     union = F.size(F.array_union(a, b))
-    return F.when(union == 0, F.lit(0.0)).otherwise(
+    return F.when(a.isNull() | b.isNull() | (union == 0), F.lit(0.0)).otherwise(
         inter.cast("double") / union.cast("double")
     )
 

@@ -105,7 +105,11 @@ def extract_offers(
 
     parsed = df.withColumn("_p", _parse_fields(F.col("text")))
     return parsed.select(
-        F.col("_p.raw_sku").cast("long").alias("id"),
+        # try_cast, not cast: Spark 4's default ANSI mode makes a plain
+        # cast THROW on a non-numeric sku, killing the stage on one dirty
+        # page; the contract is non-numeric sku → id=NULL → dropped by the
+        # pipeline's isNotNull guard
+        F.col("_p.raw_sku").try_cast("long").alias("id"),
         F.col("url"),
         F.col("_p.raw_category").alias("category"),
         _clean_string_udf(F.col("_p.raw_title")).alias("title"),

@@ -25,6 +25,7 @@ from ..operators import scoring as S
 from ..operators.clustering import assign_entities
 from ..operators.extract import extract_offers
 from ..operators.metrics_ops import evaluate_pairwise
+from ..sources.readers import read_pages
 from ..sources.catalog import StageCatalog
 
 
@@ -58,9 +59,12 @@ def run_pipeline(
     report: dict = {"stages": {}}
 
     k_offers = _params_key(src=pages_path)
+    # schema-pinned scan (sources.readers.PAGES_SCHEMA): inferred schemas
+    # drift between files at web scale; a bad pages directory should fail
+    # at the declared scan boundary, not inside the extraction UDF
     offers, resumed = cat.write_or_resume(
         "offers",
-        lambda: extract_offers(spark.read.parquet(pages_path)).where(
+        lambda: extract_offers(read_pages(spark, pages_path)).where(
             F.col("id").isNotNull()
         ),
         params_key=k_offers,

@@ -253,6 +253,10 @@ def generate_labeled_pairs(
 
     pos: set[tuple[int, int]] = set()
     cids = sorted(multi)
+    if not cids:
+        # tiny/skewed corpora can lack any 2..80-member English cluster;
+        # degrade to zero positive pairs instead of randrange(0) crashing
+        n_pos, n_neg = 0, n_pairs
     guard = 0
     while len(pos) < n_pos and guard < n_pos * 50:
         guard += 1

@@ -62,3 +62,23 @@ def test_extract_plan_is_map_only_and_pruned(spark, fixtures_dir):
     read_schema = plan.split("ReadSchema")[-1].splitlines()[0]
     assert "html" not in read_schema, read_schema
     assert "PushedFilters" in plan and "lang" in plan.split("PushedFilters")[-1].splitlines()[0]
+
+
+def test_non_numeric_sku_yields_null_id_not_crash(spark):
+    """Spark 4 ANSI mode makes plain cast throw on 'N/A'; the contract is
+    dirty sku → id NULL → filtered, never a stage-killing exception."""
+    import datetime
+
+    from productbert_intermediate_spark.operators.extract import extract_offers
+
+    rows = [
+        ("u1", datetime.datetime(2020, 1, 1), None,
+         "<<sku>>N/A<</sku>><<title>>x<</title>>", "en"),
+        ("u2", datetime.datetime(2020, 1, 1), None,
+         "<<sku>>123<</sku>><<title>>y<</title>>", "en"),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    got = {r.url: r.id for r in extract_offers(pages).collect()}
+    assert got["u1"] is None and got["u2"] == 123
