@@ -41,6 +41,32 @@ ENGLISH_STOPWORDS: tuple[str, ...] = (
 )
 
 
+# The EXACT whitespace set of Python str.split() / str.isspace() (Unicode
+# White_Space property + the ASCII separators \x1c-\x1f Python treats as
+# whitespace), written with \x{..} escapes valid in BOTH Java regex (Spark)
+# and RE2 (DuckDB oracles) — Java's bare \s is ASCII-only ([ \t\n\x0B\f\r])
+# and RE2's \s additionally lacks \x0B, so every engine's shorthand class
+# diverges from Python on real web text (NBSP from &nbsp; is everywhere).
+_PY_WS_CODEPOINTS = (
+    "09-0D", "1C-1F", "20", "85", "A0", "1680",
+    "2000-200A", "2028", "2029", "202F", "205F", "3000",
+)
+
+
+def _ws_class() -> str:
+    parts = []
+    for cp in _PY_WS_CODEPOINTS:
+        if "-" in cp:
+            lo, hi = cp.split("-")
+            parts.append(rf"\x{{{lo}}}-\x{{{hi}}}")
+        else:
+            parts.append(rf"\x{{{cp}}}")
+    return "[" + "".join(parts) + "]"
+
+
+PY_WS_CLASS = _ws_class()
+
+
 def tokenize(col: Column, delimiter: str | None = None) -> Column:
     """Split into tokens; NULL → empty array (reference utils.tokenize).
 
@@ -49,15 +75,15 @@ def tokenize(col: Column, delimiter: str | None = None) -> Column:
     like str.split(sep).
     """
     if delimiter is None:
-        # Python str.split() parity in ONE regex pass: splitting on \s+
-        # leaves empty strings only at the array edges (leading/trailing
-        # whitespace; interior runs are consumed), and array_remove drops
-        # them. NOT F.trim — trim() strips only 0x20 spaces, so a
-        # tab/newline-only string would survive it and split into empty
-        # tokens, where Python returns []. This expression runs per pair
-        # in the scoring feature stage, so the extra regexp_replace-trim
-        # pass of the naive form is a measurable cost.
-        arr = F.array_remove(F.split(col, r"\s+"), "")
+        # Python str.split() parity in ONE regex pass: splitting on the
+        # Python whitespace class leaves empty strings only at the array
+        # edges (leading/trailing whitespace; interior runs are consumed),
+        # and array_remove drops them. NOT F.trim — trim() strips only
+        # 0x20 spaces — and NOT \s — Java's is ASCII-only, so NBSP-joined
+        # words would stay fused where the reference splits them. This
+        # expression runs per pair in the scoring feature stage, so the
+        # single-pass form matters.
+        arr = F.array_remove(F.split(col, PY_WS_CLASS + "+"), "")
     else:
         import re as _re
 
@@ -78,8 +104,11 @@ def remove_stopwords(col: Column, lower: bool = False) -> Column:
 
 
 def lower_ws_normalize(col: Column) -> Column:
-    """' '.join(x.lower().split()) — lowercase + whitespace collapse + strip."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    """' '.join(x.lower().split()) — lowercase + whitespace collapse + strip,
+    over the full Python whitespace set (see PY_WS_CLASS)."""
+    collapsed = F.regexp_replace(F.lower(col), PY_WS_CLASS + "+", " ")
+    # after collapse every separator is a single 0x20, so plain trim works
+    return F.trim(collapsed)
 
 
 def token_prefix(col: Column, n: int) -> Column:
@@ -93,5 +122,16 @@ def token_set(col: Column) -> Column:
 
 
 def blank_to_null_double(col: Column) -> Column:
-    """Blank/whitespace-only string → NULL, else cast to double (P11)."""
-    return F.when(F.trim(col) == "", F.lit(None)).otherwise(col).cast("double")
+    """Blank/whitespace-only string → NULL, else cast to double (P11:
+    replace(r'^\\s*$', NaN).astype(float64), process_to_magellan.py:26-29).
+
+    The blank test is a regex over the full whitespace class, not
+    trim() == '' — trim strips only 0x20, so a tab-only string would fall
+    through to the cast and THROW under Spark 4's default ANSI mode. A
+    non-blank non-numeric string still raises, exactly as the reference's
+    astype('float64') would."""
+    return (
+        F.when(col.rlike("^" + PY_WS_CLASS + r"*$"), F.lit(None))
+        .otherwise(col)
+        .cast("double")
+    )

@@ -31,6 +31,12 @@ def build_vocabulary(
     SET contains the token. ``splitter`` overrides the tokenizer (default
     whitespace-run ``tokenize``) — e.g. single-space split for callers whose
     downstream encoder splits that way.
+
+    Documented deviation: sklearn's default analyzer lowercases and keeps
+    only \\w\\w+ word tokens; this engine uses its uniform str.split()
+    tokenizer everywhere (reference utils.tokenize) so vocabulary
+    membership is consistent with blocking/stopword/stemming. Callers
+    needing analyzer-faithful tokens pass a custom ``splitter``.
     """
     split_fn = splitter or tokenize
     toks = strings.select(
@@ -67,8 +73,17 @@ def wordcooc_features(
     only on the texts — but it shuffles full texts; pass ids at scale).
     """
     if vocabulary is None:
-        union = pairs.select(F.col(left_col).alias("text")).unionAll(
-            pairs.select(F.col(right_col).alias("text"))
+        # distinct: the reference fits its CountVectorizer on the pair-side
+        # union deduped by offer id (process-to-wordcooc.py, drop_duplicates
+        # on id) — without dedup an offer in k pairs would inflate its
+        # tokens' document frequencies k-fold. Text-dedup is the id-dedup
+        # stand-in here (equal id ⇒ equal text); two distinct offers with
+        # byte-identical text collapse to one df count, a conservative and
+        # documented deviation.
+        union = (
+            pairs.select(F.col(left_col).alias("text"))
+            .unionAll(pairs.select(F.col(right_col).alias("text")))
+            .distinct()
         )
         vocabulary = build_vocabulary(union, "text", min_df)
     key = list(id_cols) if id_cols else [left_col, right_col]
@@ -92,10 +107,17 @@ def wordcooc_features(
 
 def class_ratio(labeled: DataFrame, label_col: str = "label") -> float:
     """pos_neg ratio = round(neg/pos) — the reference's BCE pos_weight source
-    (run_magellan.py:174-175; consumed as pos_neg_ratio, loss.py:8-9)."""
-    counts = dict(
-        labeled.groupBy(label_col).count().collect()
-    )
-    pos = int(counts.get(1, 0))
-    neg = int(counts.get(0, 0))
-    return round(neg / pos) if pos else float("inf")
+    (run_magellan.py:174-175; consumed as pos_neg_ratio, loss.py:8-9).
+
+    Labels are normalized through int() so string-typed 0/1 columns (a
+    pd.read_json inference artifact the reference tolerates) count
+    correctly instead of silently reporting inf."""
+    counts: dict[int, int] = {}
+    for row in labeled.groupBy(label_col).count().collect():
+        key = row[0]
+        if key is None:
+            continue
+        counts[int(key)] = counts.get(int(key), 0) + int(row[1])
+    pos = counts.get(1, 0)
+    neg = counts.get(0, 0)
+    return float(round(neg / pos)) if pos else float("inf")

@@ -49,6 +49,16 @@ def _md5(col):
     return F.md5(F.encode(col, "utf-8"))
 
 
+# Python-whitespace character class, written with \x{..} escapes that parse
+# identically in Java regex (Spark) and RE2 (DuckDB) — each engine's \s
+# shorthand covers a DIFFERENT set (Java ASCII incl. \x0B, RE2 ASCII excl.
+# \x0B, Python full Unicode), so every cross-engine whitespace regex below
+# uses this explicit class on BOTH sides.
+from ..functions.text import PY_WS_CLASS as _WS  # noqa: E402
+
+_NOT_WS = "[^" + _WS[1:-1] + "]"
+
+
 def _ranked_from_topk(top: DataFrame, sort_col: str, id_col: str, rank_name: str) -> DataFrame:
     """(already-limited top-k frame) → (id_col, rank_name) with rank = the
     1-based position under (sort_col asc, id_col asc).
@@ -103,7 +113,7 @@ def q_wdc_clean_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_WDC_CLEAN_STRING = r"""
+SQL_WDC_CLEAN_STRING = rf"""
 with raw as (
   select doc_id,
          case cast(doc_id % 3 as int)
@@ -128,8 +138,8 @@ with raw as (
   from s1
 )
 select doc_id,
-       trim(replace(regexp_replace(regexp_replace(t, '"@\S+\s+', ' ', 'g'),
-                                   '\s+', ' ', 'g'), '"', '')) as cleaned
+       trim(replace(regexp_replace(regexp_replace(t, '"@{_NOT_WS}+{_WS}+', ' ', 'g'),
+                                   '{_WS}+', ' ', 'g'), '"', '')) as cleaned
 from s2
 """
 
@@ -256,7 +266,7 @@ group by o_custkey having count(*) >= 2 and count(*) <= 80
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower("text"), _WS + "+", " "))
     return (
         docs.groupBy(norm.alias("norm_text"))
         .agg(F.min("doc_id").alias("survivor_id"), F.count("*").alias("n_copies"))
@@ -264,10 +274,10 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EXACT_DEDUP = r"""
+SQL_EXACT_DEDUP = rf"""
 select min(doc_id) as survivor_id, count(*) as n_copies
 from documents
-group by trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+group by trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'))
 """
 
 
@@ -403,12 +413,19 @@ def q_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dense_rank over distinct values == row_number over distinct values;
     # dense_ids avoids the no-partition window (harmless on a 20-entry label
     # dictionary, but this keeps every id-assignment on the scale-safe path).
-    return dense_ids(docs.select("source").distinct(), "source", out_col="code")
+    # NULL labels are dropped on BOTH sides — dense_ids documents a no-NULL
+    # precondition, and the engines disagree on where NULL ranks anyway
+    # (Spark nulls-first vs DuckDB dense_rank nulls-last).
+    return dense_ids(
+        docs.select("source").where(F.col("source").isNotNull()).distinct(),
+        "source",
+        out_col="code",
+    )
 
 
 SQL_LABEL_ENCODE = """
 select source, dense_rank() over (order by source) - 1 as code
-from (select distinct source from documents)
+from (select distinct source from documents where source is not null)
 """
 
 
@@ -436,7 +453,7 @@ from documents group by 1
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    ntok = F.size(F.split("text", r"\s+"))
+    ntok = F.size(F.split("text", _WS + "+"))
     return docs.groupBy("lang").agg(
         F.max(ntok).alias("max_tokens"),
         F.min(ntok).alias("min_tokens"),
@@ -445,11 +462,11 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TOKEN_STATS = r"""
+SQL_TOKEN_STATS = rf"""
 select lang,
-       max(len(regexp_split_to_array(text, '\s+'))) as max_tokens,
-       min(len(regexp_split_to_array(text, '\s+'))) as min_tokens,
-       cast(sum(len(regexp_split_to_array(text, '\s+'))) as bigint) as sum_tokens,
+       max(len(regexp_split_to_array(text, '{_WS}+'))) as max_tokens,
+       min(len(regexp_split_to_array(text, '{_WS}+'))) as min_tokens,
+       cast(sum(len(regexp_split_to_array(text, '{_WS}+'))) as bigint) as sum_tokens,
        count(*) as n_docs
 from documents group by lang
 """
@@ -563,7 +580,7 @@ SQL_STOPWORD_REMOVAL = rf"""
 select doc_id,
        case when text is null then null
             else coalesce(array_to_string(
-              list_filter(regexp_split_to_array(text, '\s+'),
+              list_filter(regexp_split_to_array(text, '{_WS}+'),
                           x -> x <> '' and x not in ({_STOP_SQL})), ' '), '')
        end as filtered_text
 from documents
@@ -808,7 +825,10 @@ def q_ann_cosine_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v))
     nb = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda a, v: a + v * v))
-    cos = dot / (na * nb)
+    # zero-norm guard on BOTH engines: unguarded 0/0 is NaN, which Spark
+    # compares as false against the threshold but DuckDB orders ABOVE all
+    # numbers — NULL is excluded identically everywhere
+    cos = F.when(na * nb != 0, dot / (na * nb))
     return joined.where(cos >= 0.8).select("vec_id", "label")
 
 
@@ -817,8 +837,8 @@ with q as (select embedding as qvec from embeddings where vec_id = 0)
 select vec_id, label
 from embeddings, q
 where list_dot_product(embedding, qvec)
-      / (sqrt(list_dot_product(embedding, embedding))
-         * sqrt(list_dot_product(qvec, qvec))) >= 0.8
+      / nullif(sqrt(list_dot_product(embedding, embedding))
+               * sqrt(list_dot_product(qvec, qvec)), 0) >= 0.8
 """
 
 
@@ -908,7 +928,9 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = F.sqrt(F.aggregate("_va", F.lit(0.0), lambda a, v: a + v * v))
     nb = F.sqrt(F.aggregate("_vb", F.lit(0.0), lambda a, v: a + v * v))
-    cos = dot / (na * nb)
+    # zero-norm guard: see q_ann_cosine_matches (NaN orders differently in
+    # DuckDB); NULL cosine fails the threshold identically on both engines
+    cos = F.when(na * nb != 0, dot / (na * nb))
     return hyd.where(cos >= _NEARDUP_THRESHOLD).select("vec_a", "vec_b")
 
 
@@ -941,7 +963,8 @@ from cand c
 join e ea on ea.vec_id = c.vec_a
 join e eb on eb.vec_id = c.vec_b
 where list_dot_product(ea.v, eb.v)
-      / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+      / nullif(sqrt(list_dot_product(ea.v, ea.v))
+               * sqrt(list_dot_product(eb.v, eb.v)), 0)
       >= {_NEARDUP_THRESHOLD}
 """
 
@@ -984,7 +1007,10 @@ from documents
 # text analysis: BPE-ish regex token count
 
 
-_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+# \s expanded to the explicit class: Java's includes \x0B, RE2's doesn't,
+# and neither covers NBSP-class whitespace — the engines must agree on
+# which characters are "not a token"
+_BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9" + _WS[1:-1] + "]"
 
 
 def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1007,12 +1033,12 @@ from documents
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower("text"), _WS + "+", " "))
     return docs.select("doc_id", _md5(norm).alias("fingerprint"))
 
 
-SQL_DOC_FINGERPRINT = r"""
-select doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) as fingerprint
+SQL_DOC_FINGERPRINT = rf"""
+select doc_id, md5(trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g'))) as fingerprint
 from documents
 """
 
@@ -1056,17 +1082,20 @@ def q_er_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id_l").alias("doc_a"), F.col("id_r").alias("doc_b"))
 
 
-SQL_ER_BLOCKING_PAIRS = r"""
+SQL_ER_BLOCKING_PAIRS = rf"""
 with tok as (
   -- whitespace-run split dropping empties = token_set()/tokenize() =
   -- Python str.split(); single-space string_split diverges on tabs etc.
-  select doc_id, source,
+  -- NULL source coalesces to a sentinel group, mirroring the null-safe
+  -- grouping in operators/blocking.py (equi-joins drop NULL keys)
+  select doc_id, coalesce(source, chr(0) || '<null>') as source,
          unnest(list_distinct(
-           list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')
+           list_filter(regexp_split_to_array(lower(text), '{_WS}+'), x -> x <> '')
          )) as t
   from documents
 ), grp as (
-  select source, count(*) as n from documents group by source
+  select coalesce(source, chr(0) || '<null>') as source, count(*) as n
+  from documents group by 1
 ), dfc as (
   select tok.source, t, count(*) as df
   from tok group by tok.source, t
@@ -1097,11 +1126,11 @@ def q_vocab_min_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # tokenization mirrors build_vocabulary's default tokenize(): whitespace-run
 # split, empties dropped (Python str.split() semantics)
-SQL_VOCAB_MIN_DF = r"""
+SQL_VOCAB_MIN_DF = rf"""
 with tok as (
   select doc_id,
          unnest(list_distinct(
-           list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+           list_filter(regexp_split_to_array(text, '{_WS}+'), x -> x <> '')
          )) as token
   from documents
 )
@@ -1139,7 +1168,7 @@ def q_wordcooc_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_left", "doc_right", "cooc_count")
 
 
-SQL_WORDCOOC_FEATURE = r"""
+SQL_WORDCOOC_FEATURE = rf"""
 with numbered as (
   select doc_id, source, text,
          row_number() over (partition by source order by doc_id) as rn
@@ -1150,20 +1179,21 @@ with numbered as (
   from numbered l join numbered r
     on l.source = r.source and l.rn % 2 = 1 and r.rn = l.rn + 1
 ), vocab as (
-  -- whitespace-run split dropping empties = tokenize() / Python str.split()
+  -- whitespace-run split dropping empties = tokenize() / Python str.split();
+  -- distinct mirrors wordcooc_features' per-offer (text-deduped) df counts
   select token from (
     select unnest(list_distinct(
-      list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+      list_filter(regexp_split_to_array(text, '{_WS}+'), x -> x <> '')
     )) as token
-    from (select text_left as text from pairs
-          union all select text_right from pairs)
+    from (select distinct text from (select text_left as text from pairs
+                                     union all select text_right from pairs))
   ) group by token having count(*) >= 2
 ), inter as (
   select doc_left, doc_right,
          unnest(list_intersect(
-           list_distinct(list_filter(regexp_split_to_array(text_left, '\s+'),
+           list_distinct(list_filter(regexp_split_to_array(text_left, '{_WS}+'),
                                      x -> x <> '')),
-           list_distinct(list_filter(regexp_split_to_array(text_right, '\s+'),
+           list_distinct(list_filter(regexp_split_to_array(text_right, '{_WS}+'),
                                      x -> x <> '')))) as token
   from pairs
 ), counted as (
@@ -1405,8 +1435,12 @@ def q_class_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.groupBy("label").agg(F.count("*").alias("n"))
 
 
+# NULL labels keep their own group on both engines: the Spark side's
+# (label == 0).cast('int') yields NULL for NULL, and a bare CASE ELSE 0
+# would fold NULLs into the negative class only in the oracle.
 SQL_CLASS_RATIO = """
-select case when label = 0 then 1 else 0 end as label, count(*) as n
+select case when label is null then null
+            when label = 0 then 1 else 0 end as label, count(*) as n
 from embeddings group by 1
 """
 
@@ -1755,8 +1789,11 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.alias("b")
     edges = a.join(
         b,
+        # null-safe source equality: the oracle's `partition by source`
+        # groups all NULL sources into one partition, so NULL must equal
+        # NULL here too or NULL-source runs become singletons only in Spark
         (F.col("b.doc_id") == F.col("a.doc_id") + 1)
-        & (F.col("b.source") == F.col("a.source")),
+        & F.col("b.source").eqNullSafe(F.col("a.source")),
     ).select(
         F.col("a.doc_id").alias("id_l"), F.col("b.doc_id").alias("id_r")
     )
@@ -1834,7 +1871,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, v: a + v * v))
     nb = F.sqrt(F.aggregate("qvec", F.lit(0.0), lambda a, v: a + v * v))
-    cos = (dot / (na * nb)).alias("cos")
+    # zero-norm guard mirrors the oracle's nullif: without it a zero vector
+    # scores NaN, which Spark sorts as the LARGEST double (rank 1) while
+    # DuckDB's NULL sorts last and falls out of the top-k
+    cos = F.when(na * nb != 0, dot / (na * nb)).alias("cos")
     top = (
         joined.select("vec_id", cos)
         .orderBy(F.desc("cos"), F.asc("vec_id"))

@@ -68,6 +68,14 @@ _NASTY = [
     "\t\n ",
     "ünïcödé with  doubled  spaces\tand\ttabs",
     None,
+    # engine-specific whitespace: Java \s has \x0B but RE2 doesn't; neither
+    # has NBSP/NEL/U+2028, all of which Python str.split() treats as
+    # whitespace — the explicit PY_WS_CLASS must make all engines agree
+    "vertical\x0btab here",
+    "non\xa0breaking\xa0space",
+    "next\x85line and unicode separators",
+    "ideographic　space  em-space",
+    "\xa0\x0b ",
 ]
 
 
@@ -92,19 +100,24 @@ def fuzz_dir(tmp_path_factory):
                 "doc_id": i,
                 "text": text,
                 "lang": rng.choice(["en", "es", "de"]),
-                "source": f"s{i % 4}",
+                # a few NULL sources: grouping/blocking/window semantics must
+                # agree on whether NULL is a group (they do — explicitly)
+                "source": None if 20 <= i < 24 else f"s{i % 4}",
                 "n_chars": len(text) if text is not None else 0,
             }
         )
     pd.DataFrame(rows).to_parquet(f"{d}/documents.parquet", index=False)
 
     nprng = np.random.RandomState(99)
+    vectors = [nprng.normal(size=64).astype(np.float32) for _ in range(119)]
+    # zero-norm vector: unguarded cosine would be NaN, which DuckDB orders
+    # ABOVE all numbers while Spark compares it false — the queries must
+    # null it out identically on both engines
+    vectors.append(np.zeros(64, dtype=np.float32))
     emb = pd.DataFrame(
         {
             "vec_id": np.arange(120, dtype=np.int64),
-            "embedding": [
-                nprng.normal(size=64).astype(np.float32) for _ in range(120)
-            ],
+            "embedding": vectors,
             "label": nprng.randint(0, 3, size=120).astype(np.int32),
         }
     )
