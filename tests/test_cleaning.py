@@ -89,3 +89,37 @@ def test_empty_output_stays_empty_string():
     # truthy input that cleans to '' must yield '', not None
     assert clean_string_py("x") == ""
     assert clean_string_series(pd.Series(['"'], dtype="object"))[0] == ""
+
+
+def test_tokenize_matches_python_str_split_property(spark):
+    """tokenize() must equal Python str.split() — the reference's tokenizer
+    (utils.py tokenize with delimiter=None) — on arbitrary text including
+    every flavor of unicode whitespace. Hypothesis-style: a deterministic
+    seeded generator over an alphabet weighted toward whitespace edge
+    cases, verified in one Spark round-trip."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from productbert_intermediate_spark.functions.text import tokenize
+
+    rng = random.Random(424242)
+    alphabet = (
+        list("abcXY01.,!\"'@-") +
+        [" ", "\t", "\n", "\r", "\x0b", "\x0c", "\x1c", "\x1d", "\x1e",
+         "\x1f", "\x85", "\xa0", " ", " ", " ", " ",
+         " ", " ", " ", " ", "　"]
+    )
+    cases = [""]
+    for _ in range(300):
+        n = rng.randint(0, 24)
+        cases.append("".join(rng.choice(alphabet) for _ in range(n)))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "i long, s string"
+    )
+    got = {
+        r.i: r.toks
+        for r in df.select("i", tokenize(F.col("s")).alias("toks")).collect()
+    }
+    for i, s in enumerate(cases):
+        assert got[i] == s.split(), (i, repr(s), got[i], s.split())
