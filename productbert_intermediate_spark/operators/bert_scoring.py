@@ -29,15 +29,28 @@ from collections.abc import Callable, Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql.types import BooleanType, DoubleType, StructField, StructType
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
 
-from ..functions.bert_encode import WordPieceVocab, encode_pair_text
+from ..functions.bert_encode import WordPieceVocab, basic_tokenize, encode_pair_text
 
 EncoderFn = Callable[[np.ndarray, np.ndarray, np.ndarray], np.ndarray]
 
 
 def make_default_frozen_encoder(
-    vocab_size: int, dim: int = 64, seed: int = 42, scale: float = 8.0
+    vocab_size: int,
+    dim: int = 64,
+    seed: int = 42,
+    scale: float = 8.0,
+    token_weights: np.ndarray | None = None,
 ) -> EncoderFn:
     """Deterministic frozen stand-in for a fine-tuned transformer encoder.
 
@@ -46,9 +59,16 @@ def make_default_frozen_encoder(
     logit = scale·(cosine − 0.5) — the same calibrated-threshold decision
     shape as the reference's pooler+linear head. NOT a trained model; the
     seam exists so real weights can be dropped in.
+
+    ``token_weights`` (shape [vocab_size]) scales each token's vector —
+    pass corpus IDF so rare discriminative tokens (model codes) dominate the
+    cosine over shared boilerplate, the hand-rolled analog of the attention
+    weighting a fine-tuned matcher learns. None keeps uniform weights.
     """
     rng = np.random.RandomState(seed)
     table = rng.normal(size=(vocab_size, dim)).astype(np.float32)
+    if token_weights is not None:
+        table = table * np.asarray(token_weights, dtype=np.float32)[:, None]
 
     def encoder(
         input_ids: np.ndarray, token_type_ids: np.ndarray, attention_mask: np.ndarray
@@ -124,3 +144,144 @@ def score_pairs_with_encoder(
             yield out
 
     return pairs.mapInPandas(run, schema=out_schema)
+
+
+# ------------------------------------------------- pipeline-level wiring
+
+
+def build_vocab_from_corpus(
+    texts: DataFrame,
+    text_col: str = "text",
+    min_df: int = 2,
+    max_vocab: int = 200_000,
+) -> WordPieceVocab:
+    """Word-level tokenizer vocabulary from a text corpus, distributed.
+
+    The reference ships a pretrained WordPiece vocab file with its
+    fine-tuned checkpoint (process_to_bert.py loads BertTokenizer from a
+    model dir); this engine has no checkpoint to load, so the vocabulary is
+    derived from the corpus itself with the SAME basic tokenizer the encoder
+    applies at scoring time (lowercase, accent-strip, punctuation-split) —
+    tokens the tokenizer can emit are exactly the tokens counted here.
+
+    Scale: document frequency is a distributed explode→groupBy; only the
+    surviving (df ≥ min_df, top-max_vocab) tokens are collected. The driver
+    collect is bounded by max_vocab (BERT vocabularies are ~30k; 200k word
+    rows ≈ a few MB), never by corpus size. Ties at the df cutoff break by
+    token text so the vocabulary is identical at any parallelism.
+    """
+
+    @pandas_udf(ArrayType(StringType()))
+    def _basic_tok(s: pd.Series) -> pd.Series:  # pragma: no cover - executor
+        return s.map(lambda t: basic_tokenize(t) if t else [])
+
+    toks = texts.select(F.explode(F.array_distinct(_basic_tok(F.col(text_col)))).alias("token"))
+    rows = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(max_vocab)
+        .collect()
+    )
+    return WordPieceVocab.from_tokens(sorted(r["token"] for r in rows))
+
+
+def build_vocab_and_idf_from_corpus(
+    texts: DataFrame,
+    text_col: str = "text",
+    min_df: int = 2,
+    max_vocab: int = 200_000,
+) -> tuple[WordPieceVocab, np.ndarray]:
+    """Vocabulary plus an id-aligned IDF weight vector, one distributed pass.
+
+    idf[id] = ln((N + 1) / (df + 1)) + 1 (smoothed, sklearn's formula) for
+    vocabulary tokens; the four specials get weight 0 — [PAD]/[CLS]/[SEP]
+    are masked by the encoder anyway, and [UNK] weight 0 stops two
+    *different* out-of-vocabulary tokens (which share the single UNK vector)
+    from reading as a match. Same scale bounds as build_vocab_from_corpus.
+    """
+
+    @pandas_udf(ArrayType(StringType()))
+    def _basic_tok(s: pd.Series) -> pd.Series:  # pragma: no cover - executor
+        return s.map(lambda t: basic_tokenize(t) if t else [])
+
+    toks = texts.select(F.explode(F.array_distinct(_basic_tok(F.col(text_col)))).alias("token"))
+    agg = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(max_vocab)
+    )
+    rows = agg.collect()
+    n_docs = texts.count()
+    df_of = {r["token"]: r["df"] for r in rows}
+    vocab = WordPieceVocab.from_tokens(sorted(df_of))
+    idf = np.zeros(len(vocab.tokens), dtype=np.float32)
+    for tok, tid in vocab.tokens.items():
+        if tid >= 4:
+            idf[tid] = np.log((n_docs + 1.0) / (df_of[tok] + 1.0)) + 1.0
+    return vocab, idf
+
+
+def score_candidates_with_encoder(
+    pairs: DataFrame,
+    offers: DataFrame,
+    vocab: WordPieceVocab | None = None,
+    max_length: int = 64,
+    encoder: EncoderFn | None = None,
+    vocab_min_df: int = 2,
+    threshold: float = 0.5,
+    broadcast_offers: bool = False,
+) -> DataFrame:
+    """Candidate (id_l, id_r) pairs → (id_l, id_r, logit, score, match) via
+    the transformer-shaped path: hydrate pair texts → encode → frozen
+    encoder → sigmoid → 0.5 threshold.
+
+    This is the pipeline-level twin of scoring.score_candidates with the
+    reference's actual decision stack (process_to_bert.py encode +
+    model/model.py:28-55 forward + metric.py threshold) instead of the
+    calibrated feature scorer. The pair text is the discriminative blocking
+    text (title + first-5 description tokens, lowered — title_for_ts,
+    sample_intermediate_training_sets.py:197-205): the stand-in encoder is
+    a bag-of-token cosine, which full 100-token descriptions would drown in
+    filler; a real fine-tuned BERT dropped into ``encoder`` can switch the
+    hydrated text to scoring.build_sequence without touching this plumbing.
+
+    Scale shape: one hydration join (exchange-reused, broadcast when small)
+    carrying only ~100-byte texts, then one iterator mapInPandas — encoder
+    state initialized once per task, ids/texts cross Arrow once per pair.
+    """
+    from ..functions.text import token_prefix
+    from .scoring import blocking_text, hydrate_pairs
+
+    if vocab is None:
+        # vocabulary over the SAME per-offer text the encoder will see;
+        # when the encoder is also defaulted, its token vectors get corpus
+        # IDF weights from the same pass (rare model-code tokens dominate
+        # the cosine — the stand-in for learned attention)
+        title = F.coalesce(F.col("title"), F.lit(""))
+        desc5 = token_prefix(F.coalesce(F.col("description"), F.lit("")), 5)
+        corpus = offers.select(F.lower(F.concat_ws(" ", title, desc5)).alias("text"))
+        if encoder is None:
+            vocab, idf = build_vocab_and_idf_from_corpus(corpus, min_df=vocab_min_df)
+            encoder = make_default_frozen_encoder(len(vocab.tokens), token_weights=idf)
+        else:
+            vocab = build_vocab_from_corpus(corpus, min_df=vocab_min_df)
+    hydrated = hydrate_pairs(
+        pairs, offers, broadcast_offers=broadcast_offers,
+        attrs=("title", "description"),
+    )
+    texts = hydrated.select(
+        "id_l",
+        "id_r",
+        blocking_text("left").alias("_b_l"),
+        blocking_text("right").alias("_b_r"),
+    )
+    scored = score_pairs_with_encoder(
+        texts, "_b_l", "_b_r", vocab,
+        max_length=max_length, encoder=encoder, wordpiece=True,
+        threshold=threshold,
+    )
+    return scored.select("id_l", "id_r", "logit", "score", "match")

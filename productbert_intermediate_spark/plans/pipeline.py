@@ -43,9 +43,27 @@ def run_pipeline(
     blocking_params: dict | None = None,
     truth_path: str | None = None,
     training_amount: int = 15,
+    scorer: str = "logistic",
     force: bool = False,
 ) -> dict:
-    """Execute (or resume) the full pipeline; returns a run report dict."""
+    """Execute (or resume) the full pipeline; returns a run report dict.
+
+    ``scorer`` picks the matcher for the scored_pairs stage:
+
+    * ``"logistic"`` (default) — calibrated feature scorer
+      (scoring.score_candidates): JVM similarity features + one Arrow
+      crossing, the throughput path;
+    * ``"encoder"`` — the reference's transformer-shaped decision stack
+      (bert_scoring.score_candidates_with_encoder): tokenize → pair-encode
+      → frozen encoder → sigmoid → 0.5 threshold
+      (/root/reference/src/productbert/test.py:54-93). The default encoder
+      is the honestly-labeled IDF-weighted frozen stand-in; a real
+      fine-tuned model drops into the same seam.
+
+    Both emit (id_l, id_r, …, logit, score, match); stage checkpoints are
+    keyed on the scorer choice, so switching scorers invalidates
+    scored_pairs and downstream but resumes offers/candidates.
+    """
     weights = weights or S.DEFAULT_WEIGHTS
     bp = {
         "min_df": B.DEFAULT_MIN_DF,
@@ -90,14 +108,24 @@ def run_pipeline(
 
     n_offers = (cat.latest_entry("offers") or {}).get("rows")
 
-    k_scored = _params_key(parent=k_pairs, weights=weights)
-    scored, resumed = cat.write_or_resume(
-        "scored_pairs",
-        lambda: S.score_candidates(
+    if scorer == "logistic":
+        k_scored = _params_key(parent=k_pairs, weights=weights)
+        build_scored = lambda: S.score_candidates(  # noqa: E731
             candidates, offers, weights=weights, n_offers=n_offers
-        ).select("id_l", "id_r", *S.FEATURES, "logit", "score", "match"),
-        params_key=k_scored,
-        force=force,
+        ).select("id_l", "id_r", *S.FEATURES, "logit", "score", "match")
+    elif scorer == "encoder":
+        from ..operators.bert_scoring import score_candidates_with_encoder
+
+        k_scored = _params_key(parent=k_pairs, scorer="encoder")
+        build_scored = lambda: score_candidates_with_encoder(  # noqa: E731
+            candidates,
+            offers,
+            broadcast_offers=(n_offers or 0) <= S.TEXT_BROADCAST_MAX_OFFERS,
+        )
+    else:
+        raise ValueError(f"unknown scorer {scorer!r} (logistic|encoder)")
+    scored, resumed = cat.write_or_resume(
+        "scored_pairs", build_scored, params_key=k_scored, force=force
     )
     report["stages"]["scored_pairs"] = {"resumed": resumed}
 
@@ -172,11 +200,13 @@ def main() -> None:  # pragma: no cover - CLI entry
     p.add_argument("--pages", required=True)
     p.add_argument("--workdir", required=True)
     p.add_argument("--labeled")
+    p.add_argument("--scorer", choices=("logistic", "encoder"), default="logistic")
     p.add_argument("--force", action="store_true")
     args = p.parse_args()
     spark = get_spark("er-pipeline")
     report = run_pipeline(
-        spark, args.pages, args.workdir, labeled_path=args.labeled, force=args.force
+        spark, args.pages, args.workdir, labeled_path=args.labeled,
+        scorer=args.scorer, force=args.force
     )
     print(json.dumps(report, indent=2, default=str))
     spark.stop()

@@ -1263,12 +1263,19 @@ def q_bert_pair_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs, "text_left", "text_right", vocab,
         max_length=_BERT_MAX_LEN, wordpiece=False,
     )
+    # The three token sequences go out as comma-joined strings, not
+    # array<int>: the driver's pandas canonicalizer sorts/factorizes output
+    # cells and list cells are unhashable there. Values stay exact — every
+    # element is an int rendered in base 10 on both engines.
+    def _joined(field: str) -> F.Column:
+        return F.concat_ws(",", F.col(f"encoded.{field}").cast("array<string>"))
+
     return enc.select(
         "doc_left",
         "doc_right",
-        F.col("encoded.input_ids").alias("input_ids"),
-        F.col("encoded.token_type_ids").alias("token_type_ids"),
-        F.col("encoded.attention_mask").alias("attention_mask"),
+        _joined("input_ids").alias("input_ids"),
+        _joined("token_type_ids").alias("token_type_ids"),
+        _joined("attention_mask").alias("attention_mask"),
     )
 
 
@@ -1328,16 +1335,16 @@ with tok as (
   from enc
 )
 select doc_left, doc_right,
-       cast([2] || ia[1:ka] || [3] || ib[1:kb] || [3]
+       array_to_string(cast([2] || ia[1:ka] || [3] || ib[1:kb] || [3]
             || list_transform(range({_BERT_MAX_LEN} - (ka + kb + 3)), x -> 0)
-            as integer[]) as input_ids,
-       cast(list_transform(range(ka + 2), x -> 0)
+            as integer[]), ',') as input_ids,
+       array_to_string(cast(list_transform(range(ka + 2), x -> 0)
             || list_transform(range(kb + 1), x -> 1)
             || list_transform(range({_BERT_MAX_LEN} - (ka + kb + 3)), x -> 0)
-            as integer[]) as token_type_ids,
-       cast(list_transform(range(ka + kb + 3), x -> 1)
+            as integer[]), ',') as token_type_ids,
+       array_to_string(cast(list_transform(range(ka + kb + 3), x -> 1)
             || list_transform(range({_BERT_MAX_LEN} - (ka + kb + 3)), x -> 0)
-            as integer[]) as attention_mask
+            as integer[]), ',') as attention_mask
 from cut
 """
 

@@ -28,6 +28,43 @@ def test_pairwise_f1_gate(e2e_run):
     assert f1 is not None and f1 >= 0.99, report["pairwise_eval"]
 
 
+@pytest.fixture(scope="module")
+def e2e_encoder_run(spark, e2e_dir, tmp_path_factory):
+    """Same corpus, transformer-shaped scorer, its own workdir (the shared
+    e2e_run workdir must stay logistic-scored for the resume tests)."""
+    workdir = str(tmp_path_factory.mktemp("pipeline_run_encoder"))
+    report = run_pipeline(
+        spark,
+        f"{e2e_dir}/pages.parquet",
+        workdir,
+        labeled_path=f"{e2e_dir}/labeled_pairs_gs.parquet",
+        scorer="encoder",
+    )
+    return workdir, report
+
+
+def test_pairwise_f1_gate_encoder_path(e2e_encoder_run):
+    """The transformer-shaped scorer (encode → frozen IDF-weighted encoder →
+    sigmoid → 0.5) must clear the same F1 ≥ 0.99 north-rule gate as the
+    calibrated feature scorer — the reference's decision stack end-to-end
+    (/root/reference/src/productbert/test.py:54-93)."""
+    _, report = e2e_encoder_run
+    f1 = report["pairwise_eval"]["f1"]
+    assert f1 is not None and f1 >= 0.99, report["pairwise_eval"]
+
+
+def test_scorer_switch_invalidates_only_scored_stage(spark, e2e_dir, e2e_encoder_run):
+    """Switching scorer resumes offers/candidates but rebuilds scored_pairs:
+    the checkpoint params key carries the scorer choice."""
+    workdir, _ = e2e_encoder_run
+    report = run_pipeline(
+        spark, f"{e2e_dir}/pages.parquet", workdir, scorer="logistic"
+    )
+    assert report["stages"]["offers"]["resumed"]
+    assert report["stages"]["candidate_pairs"]["resumed"]
+    assert not report["stages"]["scored_pairs"]["resumed"]
+
+
 def test_manifest_has_lineage(e2e_run):
     workdir, _ = e2e_run
     with open(f"{workdir}/_manifest.jsonl") as f:
