@@ -161,11 +161,17 @@ def exact_match(a: Column, b: Column) -> Column:
 
 
 def abs_norm(a: Column, b: Column) -> Column:
-    """Numeric absolute-norm feature: 1 - |a-b| / max(|a|,|b|); 0-safe,
-    NULL-propagating (py_entitymatching's anm correspondence)."""
+    """Numeric absolute-norm feature (py_entitymatching's abs_norm):
+    1 - |a-b|/denom with x = |a-b|/denom clamped to 0 when x ≤ 10e-5, both
+    inputs 0 → 0.0, NULL-propagating. Documented deviation: the denominator
+    is max(|a|,|b|) rather than py_entitymatching's max(a,b), which divides
+    by a negative (or zero) value whenever both inputs are negative —
+    identical for the non-negative numerics the feature is meant for."""
     denom = F.greatest(F.abs(a), F.abs(b))
+    x = F.abs(a - b) / denom
+    x = F.when(x <= 1e-4, F.lit(0.0)).otherwise(x)
     return F.when(a.isNull() | b.isNull(), F.lit(None).cast("double")).otherwise(
-        F.when(denom == 0, F.lit(1.0)).otherwise(1.0 - F.abs(a - b) / denom)
+        F.when(denom == 0, F.lit(0.0)).otherwise(1.0 - x)
     )
 
 

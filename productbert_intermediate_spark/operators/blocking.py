@@ -193,17 +193,24 @@ def candidate_pairs_from_keys(
 ) -> DataFrame:
     """(id, key) → distinct candidate (id_l < id_r) pairs.
 
-    Skew safety: block sizes are counted FIRST (count is a partially
-    aggregable sum — each map task contributes a few bytes per key) and only
-    keys within [2, max_block_size] reach the collect_set. Collecting before
-    filtering would materialize a degenerate key's entire id list in one
-    aggregation buffer: rare-token keys are df-bounded by construction, but
-    LSH band keys are not (thousands of near-identical token sets share one
-    band), and that single buffer OOMs an executor at web scale. The count
-    pass and the collect pass hash-partition on the same key, so AQE plans
-    the semi-join shuffle-light.
+    Skew safety: block sizes are counted FIRST (distinct counting plans as
+    two partial-aggregable levels — group by (key, id), then count per key —
+    so each map task contributes a few bytes per group, never a per-key id
+    buffer) and only keys within [2, max_block_size] reach the collect_set.
+    Collecting before filtering would materialize a degenerate key's entire
+    id list in one aggregation buffer: rare-token keys are df-bounded by
+    construction, but LSH band keys are not (thousands of near-identical
+    token sets share one band), and that single buffer OOMs an executor at
+    web scale. The count pass and the collect pass hash-partition on the
+    same key, so AQE plans the semi-join shuffle-light.
+
+    Sizes count DISTINCT ids per key: the current key generators emit
+    distinct (id, key) rows, but a future generator that repeats a key for
+    one id must not inflate a block past max_block_size and silently drop
+    it (pair output is governed by collect_set, which dedupes anyway — the
+    size gate must measure the same thing).
     """
-    sizes = keys.groupBy("key").agg(F.count("*").alias("_n"))
+    sizes = keys.groupBy("key").agg(F.count_distinct("id").alias("_n"))
     bounded_keys = keys.join(
         sizes.where(
             (F.col("_n") >= 2) & (F.col("_n") <= max_block_size)

@@ -55,6 +55,8 @@ class MetricTracker:
         self._totals: dict[str, float] = {k: 0.0 for k in keys}
         self._counts: dict[str, int] = {k: 0 for k in keys}
         self._pending: list = []
+        # public-API fallback state: one (thread, result box) per observation
+        self._getters: dict[int, tuple] = {}
 
     def _ensure(self, key: str) -> None:
         self._totals.setdefault(key, 0.0)
@@ -101,10 +103,9 @@ class MetricTracker:
         still_pending = []
         for obs in self._pending:
             while True:
-                # getRowOrEmpty itself awaits the result up to ~100 ms, so
-                # this loop is a bounded poll, not a busy spin
-                if obs._jo.getRowOrEmpty().isDefined():
-                    got = obs.get  # completed → returns immediately
+                got = self._try_get(obs)
+                if got is not None:
+                    self._getters.pop(id(obs), None)
                     for name, val in got.items():
                         key, kind = name.rsplit("__", 1)
                         if kind == "sum":
@@ -116,6 +117,53 @@ class MetricTracker:
                     still_pending.append(obs)
                     break
         self._pending = still_pending
+
+    @staticmethod
+    def _peek_completed(obs) -> bool:
+        """Non-blocking-ish completion peek via the private JVM handle;
+        raises wherever that handle is absent (Spark Connect) or renamed
+        (future PySpark) — callers fall back to the public API then."""
+        return obs._jo.getRowOrEmpty().isDefined()
+
+    def _try_get(self, obs) -> dict | None:
+        """Completed observation's metrics dict, or None (bounded wait).
+
+        Fast path peeks the JVM result via the private ``_jo`` handle —
+        ``getRowOrEmpty`` awaits up to ~100 ms internally, so the harvest
+        loop is a bounded poll, not a busy spin. That handle doesn't exist
+        on Spark Connect and is private API, so any failure falls back to
+        the public blocking ``Observation.get`` run in ONE daemon thread
+        per observation (reused across polls — a completed get is cached in
+        its result box; an observation whose action never runs parks only
+        the daemon thread, never the driver).
+        """
+        import threading
+        import time as _time
+
+        try:
+            if self._peek_completed(obs):
+                return obs.get  # completed → returns immediately
+            return None
+        except Exception:
+            pass
+        box = self._getters.get(id(obs))
+        if box is None:
+            result: dict = {}
+
+            def _block_get() -> None:
+                try:
+                    result["v"] = obs.get
+                except Exception:  # pragma: no cover - defensive
+                    result["e"] = True
+
+            t = threading.Thread(target=_block_get, daemon=True)
+            t.start()
+            self._getters[id(obs)] = (t, result)
+            box = (t, result)
+        t, result = box
+        t.join(0.1)
+        _time.sleep(0)  # yield so the getter thread can publish
+        return result.get("v")
 
     def avg(self, key: str) -> float | None:
         n = self._counts.get(key, 0)

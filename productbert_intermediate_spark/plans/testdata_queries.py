@@ -1551,7 +1551,9 @@ select a.k as p_partkey,
        case when brand_a is null or brand_b is null then null
             else cast(brand_a = brand_b as double) end as brand_exact,
        case when size_a is null or size_b is null then null
-            when greatest(abs(size_a), abs(size_b)) = 0 then 1.0
+            when greatest(abs(size_a), abs(size_b)) = 0 then 0.0
+            when abs(size_a - size_b) / greatest(abs(size_a), abs(size_b))
+                 <= 0.0001 then 1.0
             else 1.0 - abs(size_a - size_b) / greatest(abs(size_a), abs(size_b))
        end as size_anm,
        case when greatest(length(coalesce(lower(name_a), '')),
@@ -1884,6 +1886,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.when(na * nb != 0, dot / (na * nb)).alias("cos")
     top = (
         joined.select("vec_id", cos)
+        # NULL-cos rows (zero-norm vectors) are dropped BEFORE the top-k:
+        # if fewer than k finite rows existed, a surviving NULL would rank
+        # FIRST in _ranked_from_topk (sort_array orders null struct fields
+        # first) but LAST in the oracle's row_number — mirrored below
+        .where(F.col("cos").isNotNull())
         .orderBy(F.desc("cos"), F.asc("vec_id"))
         .limit(10)
         # negation is exact for doubles, so ascending `nc` == descending cos
@@ -1912,6 +1919,7 @@ c as (
 )
 select vec_id, cast(row_number() over (order by cos desc, vec_id) as int) as rank
 from c
+where cos is not null
 order by cos desc, vec_id
 limit 10
 """

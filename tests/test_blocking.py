@@ -126,6 +126,16 @@ def test_degenerate_band_key_never_reaches_collect(spark):
     assert got == [(100_000 + 2 * i, 100_001 + 2 * i) for i in range(3)]
 
 
+def test_size_gate_counts_distinct_ids_not_key_rows(spark):
+    """Duplicate (id, key) rows must not inflate a block past the cap: the
+    gate measures distinct ids — the same population collect_set emits —
+    so a 3-id block with repeated rows survives max_block_size=3."""
+    rows = [(1, "k"), (1, "k"), (2, "k"), (2, "k"), (3, "k"), (3, "k")]
+    keys = spark.createDataFrame(rows, "id long, key string")
+    got = sorted(map(tuple, B.candidate_pairs_from_keys(keys, max_block_size=3).collect()))
+    assert got == [(1, 2), (1, 3), (2, 3)]
+
+
 def test_blocking_is_deterministic(spark, fixtures_dir):
     offers = _offers(spark, fixtures_dir)
     a = sorted(map(tuple, B.block_offers(offers).collect()))

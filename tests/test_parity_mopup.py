@@ -1,5 +1,6 @@
 """A8 observe-based metric tracker, S3 CSV report sink, Magellan features."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from productbert_intermediate_spark.functions.similarity import (
@@ -100,8 +101,23 @@ def test_magellan_udfs_and_columns(spark):
     ).collect()
     assert rows[0]["me"] == 1.0 and rows[0]["em"] == 1.0
     assert abs(rows[0]["anm"] - 0.8) < 1e-12
-    assert rows[1]["em"] == 0.0 and rows[1]["anm"] == 1.0
+    # py_entitymatching parity: both inputs 0 → 0.0 (not 1.0)
+    assert rows[1]["em"] == 0.0 and rows[1]["anm"] == 0.0
     assert rows[2]["em"] is None and rows[2]["anm"] is None
+
+
+def test_abs_norm_py_entitymatching_edge_parity(spark):
+    """Both-zero → 0.0; relative difference ≤ 10e-5 clamps to exactly 1.0;
+    just above the clamp threshold stays un-clamped."""
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 1.0 + 5e-5), (1.0, 1.0 + 2e-4), (10.0, 8.0)],
+        "x double, y double",
+    )
+    got = [r["anm"] for r in df.select(abs_norm(F.col("x"), F.col("y")).alias("anm")).collect()]
+    assert got[0] == 0.0
+    assert got[1] == 1.0
+    assert got[2] == pytest.approx(1.0 - 2e-4 / 1.0002)
+    assert got[3] == pytest.approx(0.8)
 
 
 # --- dense_ids: scale-safe surrogate-id assignment ------------------------
@@ -163,3 +179,33 @@ def test_metric_tracker_never_run_action_does_not_hang(spark):
     df.count()
     tracker.harvest()
     assert tracker.avg("x") == 1.0 and not tracker._pending
+
+
+def test_metric_tracker_public_api_fallback(spark, monkeypatch):
+    """When the private Observation._jo peek is unavailable (Spark Connect,
+    future PySpark), harvest must still fold completed observations via the
+    public blocking get, and still not hang on never-run actions."""
+    import time
+
+    def _no_private(obs):
+        raise AttributeError("_jo gone (Spark Connect)")
+
+    monkeypatch.setattr(MetricTracker, "_peek_completed", staticmethod(_no_private))
+
+    tracker = MetricTracker("x")
+    df = tracker.attach(
+        spark.createDataFrame([(2.0,), (4.0,)], "x double"), x=F.col("x")
+    )
+    df.count()
+    deadline = time.monotonic() + 30
+    while tracker._pending and time.monotonic() < deadline:
+        tracker.harvest(timeout_s=1.0)
+    assert tracker.avg("x") == 3.0 and not tracker._pending
+
+    # never-run action on the fallback path: bounded, stays pending
+    t2 = MetricTracker("y")
+    t2.attach(spark.createDataFrame([(1.0,)], "y double"), y=F.col("y"))
+    t0 = time.monotonic()
+    t2.harvest(timeout_s=0.5)
+    assert time.monotonic() - t0 < 5.0
+    assert t2.avg("y") is None and len(t2._pending) == 1
