@@ -39,6 +39,11 @@ HEADLINE = [
 ]
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+# Timed repetitions per query (min-of-N): single-shot timings on this shared
+# box swing ±35% with co-tenant load, so every figure the driver records is
+# the min over N steady-state passes — the same protocol the scaling bench
+# uses. N=2 doubles headline wall time; raise for quieter numbers.
+BENCH_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
 
 
 def _materialize(df) -> int:
@@ -64,14 +69,21 @@ def _bench_er_throughput(spark, n_pages: int) -> tuple[float, dict[str, float]]:
     timings: dict[str, float] = {}
     pages = spark.read.parquet(f"{fx}/pages.parquet")
     offers = extract_offers(pages).where(F.col("id").isNotNull())
-    # Warm once (Python-UDF worker fan-out + parquet footer cache), then time
-    # the steady-state pass — same warm-then-time protocol as the headline
-    # queries, so stage timings are comparable across rounds.
+    # Warm once (Python-UDF worker fan-out + parquet footer cache), then
+    # min-of-N steady-state passes — er_extract's round-2 "regression" was a
+    # single contended sample; the min makes the driver JSON a noise-floor
+    # figure like every other stage.
     _materialize(offers)
-    t0 = time.time()
-    offers.cache()
-    offers.count()
-    timings["er_extract"] = time.time() - t0
+    extract_runs = []
+    for i in range(max(2, BENCH_REPS)):
+        t0 = time.time()
+        if i < max(2, BENCH_REPS) - 1:
+            _materialize(offers)
+        else:
+            offers.cache()
+            offers.count()
+        extract_runs.append(time.time() - t0)
+    timings["er_extract"] = min(extract_runs)
 
     # Stage timings are min-of-2 (shared box, ±35% single-shot swing): the
     # first pass materializes through noop, the second caches — the min is
@@ -133,9 +145,12 @@ def main() -> None:
         fn, _ = REGISTRY[name]
         df = fn(spark, sf_dir)
         _materialize(df)  # warm (plan compile + shuffle files + cache parquet footers)
-        t0 = time.time()
-        _materialize(fn(spark, sf_dir))
-        queries[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(BENCH_REPS):
+            t0 = time.time()
+            _materialize(fn(spark, sf_dir))
+            best = min(best, time.time() - t0)
+        queries[name] = round(best, 3)
 
     throughput, er_timings = _bench_er_throughput(spark, BENCH_PAGES)
     for k, v in er_timings.items():

@@ -190,6 +190,7 @@ def minhash_band_keys(
 def candidate_pairs_from_keys(
     keys: DataFrame,
     max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+    tracker=None,
 ) -> DataFrame:
     """(id, key) → distinct candidate (id_l < id_r) pairs.
 
@@ -209,8 +210,27 @@ def candidate_pairs_from_keys(
     one id must not inflate a block past max_block_size and silently drop
     it (pair output is governed by collect_set, which dedupes anyway — the
     size gate must measure the same thing).
+
+    Pass a ``metrics_ops.MetricTracker`` as ``tracker`` to make the recall
+    trade OBSERVABLE: the cap silently forfeits every pair inside an
+    oversized block, and nothing else in the output reveals how much was
+    dropped. The counters ride ``observe()`` on the sizes aggregate — zero
+    extra jobs — and harvest as ``blocking_dropped_keys`` /
+    ``blocking_dropped_rows`` (ids inside dropped blocks) /
+    ``blocking_dropped_pairs`` (candidate pairs forfeited, n·(n−1)/2 per
+    dropped key) via ``tracker.total(...)`` after the query's action runs.
     """
     sizes = keys.groupBy("key").agg(F.count_distinct("id").alias("_n"))
+    if tracker is not None:
+        over = F.col("_n") > max_block_size
+        sizes = tracker.attach(
+            sizes,
+            blocking_dropped_keys=over.cast("long"),
+            blocking_dropped_rows=F.when(over, F.col("_n")).otherwise(F.lit(0)),
+            blocking_dropped_pairs=F.when(
+                over, F.col("_n") * (F.col("_n") - 1) / 2
+            ).otherwise(F.lit(0.0)),
+        )
     bounded_keys = keys.join(
         sizes.where(
             (F.col("_n") >= 2) & (F.col("_n") <= max_block_size)
@@ -254,6 +274,7 @@ def block_offers(
     max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
     use_lsh: bool = True,
     exclude_cluster_ids: DataFrame | None = None,
+    tracker=None,
 ) -> DataFrame:
     """offers → candidate pairs (id_l, id_r), id_l < id_r, distinct.
 
@@ -281,4 +302,4 @@ def block_offers(
     keys = rare_token_keys(pruned, max_rare_df or max_block_size)
     if use_lsh:
         keys = keys.unionByName(minhash_band_keys(pruned, num_hashes, bands))
-    return candidate_pairs_from_keys(keys, max_block_size)
+    return candidate_pairs_from_keys(keys, max_block_size, tracker=tracker)

@@ -169,6 +169,11 @@ class MetricTracker:
         n = self._counts.get(key, 0)
         return self._totals[key] / n if n else None
 
+    def total(self, key: str) -> float:
+        """Harvested SUM for a key — the accessor for counter-style metrics
+        (e.g. dropped-key counts), where the mean over rows is meaningless."""
+        return self._totals.get(key, 0.0)
+
     def result(self) -> dict[str, float | None]:
         return {k: self.avg(k) for k in self._totals}
 

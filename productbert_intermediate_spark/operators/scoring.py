@@ -69,6 +69,19 @@ DEFAULT_WEIGHTS: dict[str, float] = {
     "price_sim": -0.914059,
 }
 
+# JVM-features-only preset: the two pandas-UDF features (embedding cosine,
+# Jaro-Winkler) contribute weight 0, so logit/score/match become closed-form
+# over levenshtein/jaccard/brand/price — every term SQL-expressible, which
+# lets an external SQL engine mirror the scorer's full decision arithmetic
+# exactly (the driver's er_score_pairs_jvm oracle). Adding 0·x to the fold
+# is bit-exact (±0.0), so the remaining terms accumulate in the same IEEE
+# order as the full scorer's fold.
+JVM_ONLY_WEIGHTS: dict[str, float] = {
+    **DEFAULT_WEIGHTS,
+    "emb_cos": 0.0,
+    "jw_title": 0.0,
+}
+
 
 def prepare_offers_for_scoring(offers: DataFrame) -> DataFrame:
     """Precompute per-offer scoring inputs ONCE (not once per pair):
@@ -159,8 +172,34 @@ def blocking_text(side: str, desc_tokens: int = 5):
 
 
 def _price_value(col_name: str):
-    cleaned = F.regexp_replace(
-        F.coalesce(F.col(col_name), F.lit("")), "[^0-9.]", ""
+    """Price string → double, locale-robust (WDC prices are multi-locale).
+
+    Deterministic disambiguation over the first numeric run:
+
+    * both ``.`` and ``,`` present → the LAST-occurring separator is the
+      decimal mark, the other is grouping ("1.234,56" → 1234.56,
+      "1,234.56" → 1234.56);
+    * comma only → decimal iff a single comma with 1-2 trailing digits
+      ("12,99" → 12.99), else grouping ("1,234" → 1234);
+    * dot only → grouping iff repeated ("1.234.567" → 1234567), else
+      decimal ("9.99" — a lone "1.234" reads as the en-locale 1.234; with
+      no currency hint the en default is the documented tie-break);
+    * unparseable → NULL (the 0.5-neutral feature fallback downstream).
+    """
+    s = F.coalesce(F.col(col_name), F.lit(""))
+    core = F.regexp_extract(s, r"([0-9][0-9.,]*)", 1)
+    # ",[^.]*$" ⟺ some comma has no dot after it ⟺ comma occurs last
+    comma_decimal_both = core.rlike(r"\.") & core.rlike(r",[^.]*$")
+    comma_decimal_only = ~core.rlike(r"\.") & core.rlike(r"^[0-9]+,[0-9]{1,2}$")
+    cleaned = (
+        F.when(
+            comma_decimal_both | comma_decimal_only,
+            F.replace(
+                F.replace(core, F.lit("."), F.lit("")), F.lit(","), F.lit(".")
+            ),
+        )
+        .when(core.rlike(r"\..*\."), F.regexp_replace(core, r"[.,]", ""))
+        .otherwise(F.replace(core, F.lit(","), F.lit("")))
     )
     return F.when(cleaned.rlike(r"^[0-9]+(\.[0-9]+)?$"), cleaned.cast("double"))
 

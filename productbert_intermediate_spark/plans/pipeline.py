@@ -90,7 +90,23 @@ def run_pipeline(
     )
     report["stages"]["offers"] = {"resumed": resumed}
 
+    from ..operators.metrics_ops import MetricTracker
+
     k_pairs = _params_key(parent=k_offers, **bp)
+    # Dropped-block observability (no-silent-caps): the size cap forfeits
+    # every pair inside an oversized block; these observe()-backed counters
+    # ride the stage's own write job and land in the manifest entry, so the
+    # recall trade is measurable per run instead of silent.
+    block_tracker = MetricTracker()
+
+    def _blocking_metrics() -> dict:
+        block_tracker.harvest()
+        return {
+            "blocking_dropped_keys": int(block_tracker.total("blocking_dropped_keys")),
+            "blocking_dropped_rows": int(block_tracker.total("blocking_dropped_rows")),
+            "blocking_dropped_pairs": int(block_tracker.total("blocking_dropped_pairs")),
+        }
+
     candidates, resumed = cat.write_or_resume(
         "candidate_pairs",
         lambda: B.block_offers(
@@ -100,9 +116,11 @@ def run_pipeline(
             max_block_size=bp["max_block_size"],
             num_hashes=bp["num_hashes"],
             bands=bp["bands"],
+            tracker=block_tracker,
         ),
         params_key=k_pairs,
         force=force,
+        extra_after=_blocking_metrics,
     )
     report["stages"]["candidate_pairs"] = {"resumed": resumed}
 

@@ -1863,6 +1863,205 @@ def q_er_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_entities(docs, scored.where("match"))
 
 
+def q_er_score_pairs_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full scoring stage under the JVM-features-only weight preset
+    (scoring.JVM_ONLY_WEIGHTS): the pandas-UDF features still RUN — this is
+    the real score_candidates path, Arrow crossing included — but carry
+    weight 0, so logit and match are closed-form over levenshtein/jaccard/
+    digit-jaccard/brand/price and the SQL oracle below reproduces the
+    decision arithmetic term-for-term in the same IEEE fold order. `score`
+    (sigmoid) is deliberately not emitted: Java and DuckDB exp() may differ
+    in the last ulp, and match ≡ logit > 0 carries the decision exactly.
+
+    Scoped to ASCII documents on BOTH engines: DuckDB's levenshtein counts
+    BYTES while Spark's counts codepoints, so the mirror is exact only
+    where the two coincide. The engine itself is unicode-correct (pytest);
+    the driver corpus is all-ASCII, so the scope costs the driver row
+    nothing."""
+    from ..operators import blocking as B
+    from ..operators import scoring as S
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.length(F.encode(F.col("text"), "utf-8")) == F.length(F.col("text"))
+    )
+    offers = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("category"),
+        F.col("text").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("string").alias("brand"),
+        F.lit(None).cast("string").alias("price"),
+        F.lit(None).cast("string").alias("specTableContent"),
+    )
+    pairs = B.block_offers(offers, max_rare_df=5, max_block_size=5, use_lsh=False)
+    scored = S.score_candidates(pairs, offers, weights=S.JVM_ONLY_WEIGHTS)
+    return scored.select(
+        "id_l",
+        "id_r",
+        "lev_title",
+        "jac_tokens",
+        "digit_jac",
+        "logit",
+        F.col("match").cast("int").alias("match"),
+    )
+
+
+def _jvm_scorer_oracle_sql() -> str:
+    from ..operators.scoring import DEFAULT_WEIGHTS as _W
+
+    # brand/price are NULL on this corpus → both features are the constant
+    # 0.5 neutral value; their weighted terms are folded in the same
+    # left-associated order score_pairs uses (bias, then FEATURES order with
+    # the two zero-weight UDF terms contributing exact +0.0).
+    return rf"""
+with docs as (
+  -- ASCII scope (see q_er_score_pairs_jvm): byte == codepoint levenshtein
+  select * from documents where octet_length(encode(text)) = length(text)
+), tok as (
+  select doc_id, coalesce(source, chr(0) || '<null>') as source,
+         unnest(list_distinct(
+           list_filter(regexp_split_to_array(lower(text), '{_WS}+'), x -> x <> '')
+         )) as t
+  from docs
+), grp as (
+  select coalesce(source, chr(0) || '<null>') as source, count(*) as n
+  from docs group by 1
+), dfc as (
+  select tok.source, t, count(*) as df
+  from tok group by tok.source, t
+), kept as (
+  select dfc.source as source, dfc.t as t
+  from dfc join grp on dfc.source = grp.source
+  where df >= 2 and df <= least(5, cast(floor(0.8 * n) as bigint))
+), keyed as (
+  select tok.doc_id as doc_id, tok.source as source, tok.t as t from tok
+  join kept on tok.source = kept.source and tok.t = kept.t
+), pairs as (
+  select distinct a.doc_id as id_l, b.doc_id as id_r
+  from keyed a join keyed b
+    on a.source = b.source and a.t = b.t and a.doc_id < b.doc_id
+), hyd as (
+  select p.id_l, p.id_r,
+         lower(coalesce(ta.text, '')) as tl,
+         lower(coalesce(tb.text, '')) as tr,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(coalesce(ta.text, '')), '{_WS}+'),
+           x -> x <> '')) as ka,
+         list_distinct(list_filter(
+           regexp_split_to_array(lower(coalesce(tb.text, '')), '{_WS}+'),
+           x -> x <> '')) as kb
+  from pairs p
+  join docs ta on p.id_l = ta.doc_id
+  join docs tb on p.id_r = tb.doc_id
+), feat as (
+  select id_l, id_r,
+         case when greatest(length(tl), length(tr)) = 0 then 1.0
+              else 1.0 - levenshtein(tl, tr)
+                         / cast(greatest(length(tl), length(tr)) as double)
+         end as lev_title,
+         case when len(list_distinct(list_concat(ka, kb))) = 0 then 0.0
+              else cast(len(list_intersect(ka, kb)) as double)
+                   / cast(len(list_distinct(list_concat(ka, kb))) as double)
+         end as jac_tokens,
+         list_filter(ka, x -> regexp_matches(x, '[0-9]')) as da,
+         list_filter(kb, x -> regexp_matches(x, '[0-9]')) as db
+  from hyd
+), feat2 as (
+  select id_l, id_r, lev_title, jac_tokens,
+         case when len(da) = 0 and len(db) = 0 then 0.5
+              when len(list_distinct(list_concat(da, db))) = 0 then 0.0
+              else cast(len(list_intersect(da, db)) as double)
+                   / cast(len(list_distinct(list_concat(da, db))) as double)
+         end as digit_jac
+  from feat
+)
+select id_l, id_r, lev_title, jac_tokens, digit_jac,
+       {_W["bias"]!r} + {_W["lev_title"]!r} * lev_title
+                      + {_W["jac_tokens"]!r} * jac_tokens
+                      + {_W["digit_jac"]!r} * digit_jac
+                      + {_W["brand_match"]!r} * 0.5
+                      + {_W["price_sim"]!r} * 0.5 as logit,
+       cast(({_W["bias"]!r} + {_W["lev_title"]!r} * lev_title
+                            + {_W["jac_tokens"]!r} * jac_tokens
+                            + {_W["digit_jac"]!r} * digit_jac
+                            + {_W["brand_match"]!r} * 0.5
+                            + {_W["price_sim"]!r} * 0.5) > 0 as int) as match
+from feat2
+"""
+
+
+SQL_ER_SCORE_PAIRS_JVM = _jvm_scorer_oracle_sql()
+
+
+# --------------------------------------------------------------------------
+# P14 (WordPiece mode) — the HF-parity subword path under the driver's hard
+# signal. The whitespace-mode bert_pair_encode query above mirrors against
+# full corpus SQL; greedy longest-match WordPiece is not SQL-expressible, so
+# this query runs the REAL encoder (basic tokenize → WordPiece → pair
+# assembly) over a fixed adversarial input set — punctuation splits, accent
+# strips, CJK isolation, ## continuations, [UNK] fallbacks, the 100-char
+# guard, longest-first truncation, empty text — and the oracle is the
+# hand-derived HF-contract expectation for each case (the same vectors the
+# golden tests assert, e.g. HF's canonical "unwanted running" →
+# un ##want ##ed runn ##ing; tests/test_bert_encode.py), inlined as VALUES.
+# Vocab ids: specials 0-3, then want=4 ##want=5 ##ed=6 wa=7 un=8 runn=9
+# ##ing=10 hello=11 !=12 ?=13 (WordPieceVocab.from_tokens order).
+
+_WP_CASES = [
+    (1, "unwanted running", "hello!"),
+    (2, "HeLLo!how  \n Are yoU?", "naïve café"),
+    (3, "ab中文cd", "wa want"),
+    (4, "want want want want want want", "want want want want"),
+    (5, "", "hello"),
+    (6, "x" * 101 + " hello", "?"),
+]
+
+
+def q_bert_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.bert_encode import WordPieceVocab, encode_pairs
+
+    vocab = WordPieceVocab.from_tokens(
+        ["want", "##want", "##ed", "wa", "un", "runn", "##ing", "hello", "!", "?"]
+    )
+    pairs = spark.createDataFrame(_WP_CASES, "pid long, a string, b string")
+    enc = encode_pairs(pairs, "a", "b", vocab, max_length=12, wordpiece=True)
+
+    def _joined(field: str) -> F.Column:
+        return F.concat_ws(",", F.col(f"encoded.{field}").cast("array<string>"))
+
+    return enc.select(
+        "pid",
+        _joined("input_ids").alias("input_ids"),
+        _joined("token_type_ids").alias("token_type_ids"),
+        _joined("attention_mask").alias("attention_mask"),
+    )
+
+
+SQL_BERT_WORDPIECE_ENCODE = """
+select cast(pid as bigint) as pid, input_ids, token_type_ids, attention_mask
+from (values
+  -- un ##want ##ed runn ##ing | hello !   (greedy longest-match, no trunc)
+  (1, '2,8,5,6,9,10,3,11,12,3,0,0',
+      '0,0,0,0,0,0,0,1,1,1,0,0', '1,1,1,1,1,1,1,1,1,1,0,0'),
+  -- hello ! how are you ? | naive cafe    (punct split, lower, accents, UNKs)
+  (2, '2,11,12,1,1,1,13,3,1,1,3,0',
+      '0,0,0,0,0,0,0,0,1,1,1,0', '1,1,1,1,1,1,1,1,1,1,1,0'),
+  -- ab [CJK] [CJK] cd | wa want           (CJK isolation, all-a UNK)
+  (3, '2,1,1,1,1,3,7,4,3,0,0,0',
+      '0,0,0,0,0,0,1,1,1,0,0,0', '1,1,1,1,1,1,1,1,1,0,0,0'),
+  -- 6x want | 4x want, budget 9 -> keep (5,4) longest-first
+  (4, '2,4,4,4,4,4,3,4,4,4,4,3',
+      '0,0,0,0,0,0,0,1,1,1,1,1', '1,1,1,1,1,1,1,1,1,1,1,1'),
+  -- empty a encodes to zero tokens
+  (5, '2,3,11,3,0,0,0,0,0,0,0,0',
+      '0,0,1,1,0,0,0,0,0,0,0,0', '1,1,1,1,0,0,0,0,0,0,0,0'),
+  -- 101-char word -> [UNK] (per-word length guard)
+  (6, '2,1,11,3,13,3,0,0,0,0,0,0',
+      '0,0,0,0,1,1,0,0,0,0,0,0', '1,1,1,1,1,1,0,0,0,0,0,0')
+) as t(pid, input_ids, token_type_ids, attention_mask)
+"""
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Top-k via TakeOrderedAndProject (parallel per-partition top-k), never a
     # global Window. Ranks come from sorting the k survivors in one array;
@@ -1977,6 +2176,7 @@ REGISTRY: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "bert_pair_encode": (q_bert_pair_encode, SQL_BERT_PAIR_ENCODE),
+    "bert_wordpiece_encode": (q_bert_wordpiece_encode, SQL_BERT_WORDPIECE_ENCODE),
     "mlm_mask": (q_mlm_mask, SQL_MLM_MASK),
     "vocab_min_df": (q_vocab_min_df, SQL_VOCAB_MIN_DF),
     "wordcooc_feature": (q_wordcooc_feature, SQL_WORDCOOC_FEATURE),
@@ -1997,5 +2197,6 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "porter_stem": (q_porter_stem, None),
     "er_score_pairs": (q_er_score_pairs, None),
+    "er_score_pairs_jvm": (q_er_score_pairs_jvm, SQL_ER_SCORE_PAIRS_JVM),
     "er_entities": (q_er_entities, None),
 }

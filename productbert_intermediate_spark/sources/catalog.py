@@ -91,6 +91,7 @@ class StageCatalog:
         df: DataFrame,
         params_key: str | None = None,
         partition_by: list[str] | None = None,
+        extra_after=None,
     ) -> dict:
         """Checkpoint a stage table; record per-partition lineage + metrics.
 
@@ -143,6 +144,12 @@ class StageCatalog:
             "wall_sec": round(wall, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
+        # extra_after: zero-arg callable evaluated AFTER the data commit but
+        # before the manifest append — the hook for metrics that only exist
+        # once the write job has run (e.g. observe()-harvested counters).
+        # Keys never override the lineage fields above.
+        if extra_after is not None:
+            entry = {**(extra_after() or {}), **entry}
         # commit order: data (_SUCCESS) → _PARAMS token → manifest append.
         # A crash between any two leaves exists() False for every key (the
         # token and manifest must BOTH match), so a later run rebuilds
@@ -185,13 +192,18 @@ class StageCatalog:
         params_key: str | None = None,
         force: bool = False,
         partition_by: list[str] | None = None,
+        extra_after=None,
     ) -> tuple[DataFrame, bool]:
         """Return (stage DataFrame, resumed_from_checkpoint).
 
         ``build`` is a zero-arg callable producing the stage DataFrame; it is
-        only invoked when the checkpoint is missing/stale/forced.
+        only invoked when the checkpoint is missing/stale/forced (so is
+        ``extra_after`` — a resumed stage appends no manifest entry).
         """
         if not force and self.exists(name, params_key):
             return self.read(name), True
-        self.write(name, build(), params_key=params_key, partition_by=partition_by)
+        self.write(
+            name, build(), params_key=params_key, partition_by=partition_by,
+            extra_after=extra_after,
+        )
         return self.read(name), False

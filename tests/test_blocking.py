@@ -126,6 +126,24 @@ def test_degenerate_band_key_never_reaches_collect(spark):
     assert got == [(100_000 + 2 * i, 100_001 + 2 * i) for i in range(3)]
 
 
+def test_dropped_block_counters_observed(spark):
+    """The size cap's recall trade must be measurable: a tracker attached to
+    candidate_pairs_from_keys reports how many keys/ids/pairs the cap
+    forfeited, computed during the query's own action (no extra job)."""
+    from productbert_intermediate_spark.operators.metrics_ops import MetricTracker
+
+    hot = [(i, "hot") for i in range(100)]
+    ok = [(1000 + i, f"g{i // 2}") for i in range(6)]
+    keys = spark.createDataFrame(hot + ok, "id long, key string")
+    tracker = MetricTracker()
+    pairs = B.candidate_pairs_from_keys(keys, max_block_size=5, tracker=tracker)
+    assert pairs.count() == 3  # healthy 2-id blocks only
+    tracker.harvest()
+    assert tracker.total("blocking_dropped_keys") == 1
+    assert tracker.total("blocking_dropped_rows") == 100
+    assert tracker.total("blocking_dropped_pairs") == 100 * 99 // 2
+
+
 def test_size_gate_counts_distinct_ids_not_key_rows(spark):
     """Duplicate (id, key) rows must not inflate a block past the cap: the
     gate measures distinct ids — the same population collect_set emits —

@@ -50,6 +50,7 @@ FUZZ_QUERIES = [
     "token_stats",
     "distinct_count",
     "er_blocking_pairs",
+    "er_score_pairs_jvm",
     "training_neg_knn",
     "connected_components",
 ]

@@ -76,6 +76,12 @@ def test_manifest_has_lineage(e2e_run):
         assert isinstance(e["partitions"], list) and e["partitions"]
         assert all("rows" in p and "checksum" in p for p in e["partitions"])
         assert "wall_sec" in e
+    # no-silent-caps: the blocking stage's manifest entry reports how much
+    # the size cap dropped (the e2e corpus plants a 90-member cluster, so
+    # the counters exist and are sane even when nothing is dropped)
+    cp = [e for e in entries if e["stage"] == "candidate_pairs"][-1]
+    for k in ("blocking_dropped_keys", "blocking_dropped_rows", "blocking_dropped_pairs"):
+        assert k in cp and cp[k] >= 0, cp
 
 
 def test_rerun_resumes_every_stage(spark, e2e_dir, e2e_run):

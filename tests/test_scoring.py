@@ -78,6 +78,38 @@ def test_scoring_separates_gold_pairs(spark, fixtures_dir):
     assert acc >= 0.99, acc
 
 
+def test_price_value_multi_locale():
+    """Deterministic locale disambiguation: EU comma-decimal, US grouping,
+    repeated-separator grouping, currency prefixes, junk → NULL."""
+    from productbert_intermediate_spark.session import get_spark
+
+    spark = get_spark("t")
+    cases = [
+        ("1.234,56", 1234.56),   # EU: dot grouping, comma decimal
+        ("1,234.56", 1234.56),   # US: comma grouping, dot decimal
+        ("12,99", 12.99),        # lone comma + 2 decimals → decimal
+        ("1,234", 1234.0),       # lone comma + 3 digits → grouping
+        ("1.234.567", 1234567.0),  # repeated dots → grouping
+        ("$1,234.00", 1234.0),
+        ("USD 123", 123.0),
+        ("123.99", 123.99),
+        ("9.99", 9.99),
+        ("1.234", 1.234),        # en-locale tie-break, documented
+        ("no digits here", None),
+        ("", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "price_left string")
+    got = [
+        r["v"] for r in df.select(S._price_value("price_left").alias("v")).collect()
+    ]
+    for (raw, want), v in zip(cases, got):
+        if want is None:
+            assert v is None, (raw, v)
+        else:
+            assert v == pytest.approx(want), (raw, v, want)
+
+
 def test_fit_calibration_deterministic():
     rng = np.random.RandomState(7)
     X = pd.DataFrame(
