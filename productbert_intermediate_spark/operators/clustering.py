@@ -19,6 +19,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Size-based per-round parallelism: each round's edge set is re-coalesced to
+# ~this many edges per partition (an (u,v) long pair is ~16B + row overhead,
+# so 500k edges ≈ 10-20 MB — a healthy task size). CC edge sets SHRINK
+# geometrically across rounds; with AQE on, runtime coalescing already
+# collapses the tiny late-round shuffles (measured: 1 partition from round
+# 0 on a 46k-edge graph, per-round cost ~1.2s at BOTH local[8] and
+# local[32] — the round cost is the driver-synchronous fixpoint check, not
+# task fan-out). This explicit coalesce makes the checkpointed width
+# data-sized even when AQE is disabled. At web scale the quotient exceeds
+# the core count and the cap never binds.
+_EDGES_PER_PARTITION = 500_000
+
 
 def _canonical(edges: DataFrame) -> DataFrame:
     """Symmetric dedup + self-loop removal: (u>v) canonical orientation."""
@@ -90,6 +102,7 @@ def connected_components(
         # — measured 18.3s -> 4.8s for round 0 on a 172k-edge graph whose
         # edges came from a cached-but-wide scoring plan.
         cur = cur.localCheckpoint(eager=True)
+    sc = edges.sparkSession.sparkContext
     prev_fp = None
     for _ in range(max_iterations):
         cur = _canonical(
@@ -99,6 +112,17 @@ def connected_components(
         )
         cur = _small_star(cur)
         # small_star output is already (u > v) oriented.
+        # Size-based coalesce BEFORE the checkpoint: the previous round's
+        # fingerprint gives this round's input edge count for free, and
+        # coalesce (no shuffle) caps the checkpointed partition count at
+        # what the data actually needs — every subsequent round reads and
+        # launches tasks at that width.
+        if prev_fp is not None:
+            parts = max(1, min(
+                sc.defaultParallelism,
+                prev_fp[0] // _EDGES_PER_PARTITION + 1,
+            ))
+            cur = cur.coalesce(parts)
         # LAZY checkpoint: the fingerprint aggregation right below is the
         # round's only action and materializes the checkpoint as a side
         # effect — one job per round instead of eager-checkpoint + agg (two).

@@ -1993,6 +1993,50 @@ from feat2
 SQL_ER_SCORE_PAIRS_JVM = _jvm_scorer_oracle_sql()
 
 
+def q_er_entities_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pipeline tail — blocking → scoring → connected components →
+    entity assignment — under the driver's hard signal: match edges come
+    from the oracle-able JVM-weights scorer (q_er_score_pairs_jvm), and the
+    oracle recomputes the transitive closure with a recursive CTE
+    (min-label propagation), so the large-star/small-star implementation is
+    checked against an INDEPENDENT algorithm on real (not constructed)
+    match graphs. Same ASCII scope as the scorer query."""
+    from ..operators.clustering import assign_entities
+
+    scored = q_er_score_pairs_jvm(spark, sf_dir)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.length(F.encode(F.col("text"), "utf-8")) == F.length(F.col("text")))
+        .select(F.col("doc_id").alias("id"))
+    )
+    return assign_entities(docs, scored.where("match = 1"))
+
+
+def _jvm_entities_oracle_sql() -> str:
+    return f"""
+with recursive scored as (
+{_jvm_scorer_oracle_sql()}
+), docs2 as (
+  select doc_id from documents where octet_length(encode(text)) = length(text)
+), edges as (
+  select id_l as u, id_r as v from scored where match = 1
+  union all
+  select id_r as u, id_l as v from scored where match = 1
+), reach as (
+  -- min-label propagation to a fixpoint: every node starts labeled with
+  -- itself; labels flow across undirected match edges; UNION (distinct)
+  -- terminates the recursion. Component id = min reachable label.
+  select doc_id as id, doc_id as lbl from docs2
+  union
+  select e.v as id, r.lbl from reach r join edges e on e.u = r.id
+)
+select id, cast(min(lbl) as bigint) as entity_id from reach group by id
+"""
+
+
+SQL_ER_ENTITIES_JVM = _jvm_entities_oracle_sql()
+
+
 # --------------------------------------------------------------------------
 # P14 (WordPiece mode) — the HF-parity subword path under the driver's hard
 # signal. The whitespace-mode bert_pair_encode query above mirrors against
@@ -2199,4 +2243,5 @@ REGISTRY: dict[str, tuple] = {
     "er_score_pairs": (q_er_score_pairs, None),
     "er_score_pairs_jvm": (q_er_score_pairs_jvm, SQL_ER_SCORE_PAIRS_JVM),
     "er_entities": (q_er_entities, None),
+    "er_entities_jvm": (q_er_entities_jvm, SQL_ER_ENTITIES_JVM),
 }

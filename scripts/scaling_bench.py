@@ -60,6 +60,13 @@ def main() -> None:
         "scorer_stage_scaling_efficiency": round(stage_efficiency, 3),
         "output_identical": same_output,
     }
+    if "features_sec" in r_lo and "features_sec" in r_hi:
+        summary["features_stage_scaling_efficiency"] = round(
+            (r_lo["features_sec"] / r_hi["features_sec"]) / ratio, 3
+        )
+        summary["cluster_stage_scaling_efficiency"] = round(
+            (r_lo["cluster_sec"] / r_hi["cluster_sec"]) / ratio, 3
+        )
     print(json.dumps(summary, indent=2))
 
 

@@ -27,8 +27,20 @@ def main() -> None:
     from productbert_intermediate_spark.operators.extract import extract_offers
     from productbert_intermediate_spark.session import get_spark
 
+    # Experiment knobs (VERDICT r2 #7): shuffle-partition multiplier and
+    # Arrow batch size, env-set so A/B runs need no code edits.
+    shuffle_mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "2"))
+    arrow_batch = os.environ.get("SPARK_GRAFT_ARROW_BATCH")
+    extra = (
+        {"spark.sql.execution.arrow.maxRecordsPerBatch": arrow_batch}
+        if arrow_batch
+        else None
+    )
     spark = get_spark(
-        f"scaling-{cores}", cores=cores, shuffle_partitions=max(cores * 2, 16)
+        f"scaling-{cores}",
+        cores=cores,
+        shuffle_partitions=max(cores * shuffle_mult, 16),
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -87,15 +99,32 @@ def main() -> None:
     stage_sec = stage_min
     narrow.unpersist()
 
+    # features-only stage (hydration joins + JVM similarity columns): with
+    # the scorer stage above this decomposes the e2e scoring time, so a
+    # scaling gap can be attributed to a specific stage instead of "the JVM"
+    feat_min, feat_med = measure(
+        lambda: S.build_pair_features_narrow(pairs, offers, broadcast_offers=True)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     scored = run_score()
     scored.cache()
     scored.count()
 
+    # min-of-2 like every other stage: single-shot CC timing swung 2x with
+    # co-tenant load and read as anti-scaling in round-3 experiments
+    t0 = time.time()
+    assign_entities(offers, scored.where("match")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    cluster_first = time.time() - t0
     t0 = time.time()
     entities = assign_entities(offers, scored.where("match"))
     entities.cache()
     n_entities = entities.select("entity_id").distinct().count()
-    cluster_sec = time.time() - t0
+    cluster_sec = min(cluster_first, time.time() - t0)
 
     # output-equality evidence across parallelism levels
     checksum = entities.agg(
@@ -109,7 +138,11 @@ def main() -> None:
         "score_sec_median": round(score_med, 3),
         "stage_sec": round(stage_sec, 3),
         "stage_sec_median": round(stage_med, 3),
+        "features_sec": round(feat_min, 3),
+        "features_sec_median": round(feat_med, 3),
         "cluster_sec": round(cluster_sec, 3),
+        "shuffle_partitions": max(cores * shuffle_mult, 16),
+        "arrow_batch": int(arrow_batch) if arrow_batch else 10000,
         "pairs_per_sec": round(n_pairs / score_sec, 1) if score_sec else 0,
         "stage_pairs_per_sec": round(n_pairs / stage_sec, 1) if stage_sec else 0,
         "n_entities": n_entities,

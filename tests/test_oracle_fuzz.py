@@ -51,6 +51,7 @@ FUZZ_QUERIES = [
     "distinct_count",
     "er_blocking_pairs",
     "er_score_pairs_jvm",
+    "er_entities_jvm",
     "training_neg_knn",
     "connected_components",
 ]
