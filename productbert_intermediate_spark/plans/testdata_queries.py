@@ -1835,6 +1835,34 @@ def q_porter_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", stem(F.col("text")).alias("stemmed"))
 
 
+def q_porter_stem_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 under the driver's hard signal: the REAL stemmer (stem() pandas
+    UDF — the production path) over the full NLTK-default-mode golden
+    vocabulary, mirrored by a VALUES oracle of the same externally-justified
+    constants (functions/stemmer_golden.py: NLTK's documented outputs, the
+    stemmer the reference calls in src/data/utils.py:56-61). Greedy
+    suffix-measure stemming has no SQL form, so the corpus-wide porter_stem
+    query stays rows-only; this query pins the ALGORITHM driver-visibly."""
+    from ..functions.stemmer import stem
+    from ..functions.stemmer_golden import GOLDEN
+
+    words = spark.createDataFrame(sorted(GOLDEN.items()), "word string, _exp string")
+    return words.select("word", stem(F.col("word")).alias("stemmed"))
+
+
+def _porter_golden_oracle_sql() -> str:
+    from ..functions.stemmer_golden import GOLDEN
+
+    rows = ",\n  ".join(
+        "('{}', '{}')".format(w.replace("'", "''"), s.replace("'", "''"))
+        for w, s in sorted(GOLDEN.items())
+    )
+    return f"select * from (values\n  {rows}\n) as t(word, stemmed)"
+
+
+SQL_PORTER_STEM_GOLDEN = _porter_golden_oracle_sql()
+
+
 def q_er_score_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import blocking as B
     from ..operators import scoring as S
@@ -2168,6 +2196,50 @@ limit 10
 """
 
 
+def q_ann_ivf_probeall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF under the driver's hard signal: with n_probe == n_centroids every
+    cell is probed, and because the re-rank inside cells is EXACT cosine,
+    the result equals brute force row-for-row — which IS SQL-expressible.
+    The query still exercises the full IVF machinery (deterministic
+    fixed-point k-means training, int64 cell assignment, cell join, rerank);
+    only the recall dial is turned to 1 so the oracle exists. The pytest
+    probe-all ≡ brute-force assertion becomes driver-visible here."""
+    from ..operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, q, k=5, n_centroids=8, n_probe=8, n_iters=3)
+
+
+# Exact-arithmetic brute-force mirror (same device as SQL_ANN_TOPK):
+# float32 inputs widened to double before any multiply, sequential-fold dot
+# products, sqrt norms, ties broken by vec_id. Spark's array_cosine scores
+# zero-norm vectors 0.0 (not NULL) — coalesce mirrors that.
+SQL_ANN_IVF_PROBEALL = """
+with q as (
+  select vec_id as query_id, cast(embedding as double[]) as qvec
+  from embeddings where vec_id < 3
+), c as (
+  select q.query_id, e.vec_id,
+         coalesce(
+           list_dot_product(cast(e.embedding as double[]), q.qvec)
+           / nullif(
+               sqrt(list_dot_product(cast(e.embedding as double[]),
+                                     cast(e.embedding as double[])))
+               * sqrt(list_dot_product(q.qvec, q.qvec)), 0),
+           0.0) as cos
+  from embeddings e, q
+)
+select query_id, vec_id, cast(rn as int) as rank from (
+  select query_id, vec_id,
+         row_number() over (partition by query_id order by cos desc, vec_id) as rn
+  from c
+) where rn <= 5
+"""
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (operators/ann.py): deterministic spherical
     k-means cells + n_probe cell probing + exact re-rank. The training loop
@@ -2239,7 +2311,9 @@ REGISTRY: dict[str, tuple] = {
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     # Spark-private (no SQL equivalent → rows-only driver check)
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_ivf_probeall": (q_ann_ivf_probeall, SQL_ANN_IVF_PROBEALL),
     "porter_stem": (q_porter_stem, None),
+    "porter_stem_golden": (q_porter_stem_golden, SQL_PORTER_STEM_GOLDEN),
     "er_score_pairs": (q_er_score_pairs, None),
     "er_score_pairs_jvm": (q_er_score_pairs_jvm, SQL_ER_SCORE_PAIRS_JVM),
     "er_entities": (q_er_entities, None),

@@ -44,6 +44,7 @@ FUZZ_QUERIES = [
     "class_ratio",
     "ann_cosine_matches",
     "ann_topk",
+    "ann_ivf_probeall",
     "embedding_neardup",
     "label_encode",
     "histogram",

@@ -42,6 +42,16 @@ def test_plan_has_no_unjustified_scale_killers(spark, name):
             f"{name}: nested-loop join in plan"
         )
     if name not in SINGLE_PARTITION_ALLOWED:
-        assert "SinglePartition" not in plan, (
-            f"{name}: single-partition exchange in plan"
-        )
+        # Catalyst's runtime bloom-filter join pruning (InjectRuntimeFilter)
+        # merges map-side partial bloom buffers through one SinglePartition
+        # exchange — O(num_partitions) buffers, never O(input rows). Any
+        # other SinglePartition is a scale killer.
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            child = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "partial_bloom_filter_agg" in child, (
+                f"{name}: single-partition exchange in plan (not a "
+                f"bloom-filter merge):\n{line}\n{child}"
+            )
