@@ -1,0 +1,136 @@
+"""Structured-Streaming ingest: stream≡batch extraction, incremental
+catch-up via the checkpoint, watermark url-dedup, windowed crawl stats."""
+
+import glob
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from productbert_intermediate_spark.operators.extract import extract_offers
+from productbert_intermediate_spark.sources.readers import read_pages
+from productbert_intermediate_spark.streaming.ingest import (
+    crawl_stats_stream,
+    dedup_pages_streaming,
+    run_ingest,
+    stream_pages,
+)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+@pytest.fixture()
+def pages_dir(fixtures_dir, tmp_path):
+    """Fixture pages split into a landing directory of several files (the
+    shape a crawl drop has), so file-source incremental semantics are real."""
+    src = pd.read_parquet(f"{fixtures_dir}/pages.parquet")
+    d = str(tmp_path / "landing")
+    os.makedirs(d)
+    n = len(src)
+    for i in range(3):
+        part = src.iloc[i * n // 3 : (i + 1) * n // 3]
+        part.to_parquet(f"{d}/part-{i}.parquet", index=False)
+    return d
+
+
+def test_streamed_extraction_equals_batch(spark, pages_dir, tmp_path):
+    out = str(tmp_path / "offers")
+    ckpt = str(tmp_path / "ckpt")
+    q = run_ingest(spark, pages_dir, out, ckpt, dedup_lateness=None)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    want = extract_offers(read_pages(spark, pages_dir))
+    assert _rows(got) == _rows(want)
+
+
+def test_incremental_catchup_processes_only_new_files(spark, pages_dir, tmp_path):
+    """availableNow + checkpoint = idempotent incremental runs: a second
+    invocation after one new file lands appends exactly that file's offers."""
+    out = str(tmp_path / "offers")
+    ckpt = str(tmp_path / "ckpt")
+    run_ingest(spark, pages_dir, out, ckpt, dedup_lateness=None).awaitTermination(120)
+    n_first = spark.read.parquet(out).count()
+
+    # land one more file: a copy of part-0 with shifted urls (all-new pages)
+    extra = pd.read_parquet(f"{pages_dir}/part-0.parquet").copy()
+    extra["url"] = extra["url"] + "?recrawl=1"
+    extra.to_parquet(f"{pages_dir}/part-3.parquet", index=False)
+
+    run_ingest(spark, pages_dir, out, ckpt, dedup_lateness=None).awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_extra = extract_offers(
+        spark.read.parquet(f"{pages_dir}/part-3.parquet")
+    ).count()
+    assert got.count() == n_first + n_extra
+    # rerun with nothing new → no change
+    run_ingest(spark, pages_dir, out, ckpt, dedup_lateness=None).awaitTermination(120)
+    assert spark.read.parquet(out).count() == n_first + n_extra
+
+
+def test_streaming_url_dedup_drops_recrawls(spark, pages_dir, tmp_path):
+    """A duplicate-url file inside the watermark window contributes zero new
+    rows when dedup is on (first crawl wins)."""
+    dup_dir = str(tmp_path / "landing_dup")
+    shutil.copytree(pages_dir, dup_dir)
+    shutil.copy(f"{dup_dir}/part-0.parquet", f"{dup_dir}/part-9.parquet")
+
+    out = str(tmp_path / "offers_dedup")
+    ckpt = str(tmp_path / "ckpt_dedup")
+    run_ingest(spark, dup_dir, out, ckpt, dedup_lateness="365 days").awaitTermination(180)
+
+    want = extract_offers(read_pages(spark, pages_dir))  # without the dup file
+    got = spark.read.parquet(out)
+    assert got.count() == want.count()
+    assert _rows(got.select("url")) == _rows(want.select("url"))
+
+
+def test_windowed_crawl_stats_match_batch(spark, pages_dir, tmp_path):
+    """Stream windowed counts (availableNow, watermark) == batch window agg."""
+    stats = crawl_stats_stream(
+        stream_pages(spark, pages_dir), window_duration="30 minutes",
+        lateness="1 hour",
+    )
+    out = str(tmp_path / "stats_sink")
+    q = (
+        stats.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "stats_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+
+    want = (
+        read_pages(spark, pages_dir)
+        .groupBy(F.window("warc_ts", "30 minutes"), "lang")
+        .count()
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "lang",
+            "count",
+        )
+    )
+    # append mode emits only watermark-finalized windows: emitted rows must
+    # match batch EXACTLY, and everything older than the final watermark
+    # horizon (max event time − lateness, minus one trigger's watermark lag)
+    # MUST have been emitted — the open tail may be withheld.
+    got_rows, want_rows = _rows(got), _rows(want)
+    max_ts = read_pages(spark, pages_dir).agg(F.max("warc_ts")).collect()[0][0]
+    horizon = max_ts - pd.Timedelta("1 hour") - pd.Timedelta("30 minutes")
+    must = {r for r in want_rows if r[1] <= horizon}
+    assert must <= set(got_rows) <= set(want_rows)
+    assert len(got_rows) > 0
+
+
+def test_stream_pages_schema_is_pinned(spark, pages_dir):
+    s = stream_pages(spark, pages_dir)
+    assert s.isStreaming
+    assert [f.name for f in s.schema.fields] == ["url", "warc_ts", "html", "text", "lang"]
