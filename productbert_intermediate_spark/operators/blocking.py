@@ -191,6 +191,7 @@ def candidate_pairs_from_keys(
     keys: DataFrame,
     max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
     tracker=None,
+    assume_distinct_keys: bool = False,
 ) -> DataFrame:
     """(id, key) → distinct candidate (id_l < id_r) pairs.
 
@@ -205,11 +206,16 @@ def candidate_pairs_from_keys(
     web scale. The count pass and the collect pass hash-partition on the
     same key, so AQE plans the semi-join shuffle-light.
 
-    Sizes count DISTINCT ids per key: the current key generators emit
-    distinct (id, key) rows, but a future generator that repeats a key for
-    one id must not inflate a block past max_block_size and silently drop
-    it (pair output is governed by collect_set, which dedupes anyway — the
-    size gate must measure the same thing).
+    Sizes count DISTINCT ids per key by default: a key generator that
+    repeats a key for one id must not inflate a block past max_block_size
+    and silently drop it (pair output is governed by collect_set, which
+    dedupes anyway — the size gate must measure the same thing). Distinct
+    counting plans as one extra aggregation level (~12% of the blocking
+    stage measured at 20k pages); callers whose generators PROVABLY emit
+    distinct (id, key) rows pass assume_distinct_keys=True to use the
+    plain partial-aggregable count — block_offers does (its rare-token
+    keys explode an array_distinct token set, its band keys emit one row
+    per (id, band)).
 
     Pass a ``metrics_ops.MetricTracker`` as ``tracker`` to make the recall
     trade OBSERVABLE: the cap silently forfeits every pair inside an
@@ -220,7 +226,8 @@ def candidate_pairs_from_keys(
     ``blocking_dropped_pairs`` (candidate pairs forfeited, n·(n−1)/2 per
     dropped key) via ``tracker.total(...)`` after the query's action runs.
     """
-    sizes = keys.groupBy("key").agg(F.count_distinct("id").alias("_n"))
+    counter = F.count("*") if assume_distinct_keys else F.count_distinct("id")
+    sizes = keys.groupBy("key").agg(counter.alias("_n"))
     if tracker is not None:
         over = F.col("_n") > max_block_size
         sizes = tracker.attach(
@@ -302,4 +309,6 @@ def block_offers(
     keys = rare_token_keys(pruned, max_rare_df or max_block_size)
     if use_lsh:
         keys = keys.unionByName(minhash_band_keys(pruned, num_hashes, bands))
-    return candidate_pairs_from_keys(keys, max_block_size, tracker=tracker)
+    return candidate_pairs_from_keys(
+        keys, max_block_size, tracker=tracker, assume_distinct_keys=True
+    )

@@ -25,10 +25,9 @@ the parquet sink commits per micro-batch through Spark's streaming commit
 log — resumable from the checkpoint like StageCatalog's manifest, but
 managed by the engine.
 
-Custom stateful operators beyond watermark dedup (e.g. cross-crawl
-global-exact-dedup with unbounded keys) belong in applyInPandasWithState;
-none of the reference's semantics need one, so that extension point is
-documented rather than stubbed.
+Custom stateful operators beyond watermark dedup live in
+``streaming.stateful`` (applyInPandasWithState): ``dedup_ids_stateful`` is
+the cross-crawl global exact-dedup whose state outlives any watermark.
 """
 
 from __future__ import annotations

@@ -1,0 +1,76 @@
+"""Custom stateful streaming operator: global exact-dedup by id.
+
+Watermark ``dropDuplicates`` (ingest.dedup_pages_streaming) evicts its
+state at the event-time horizon — correct for re-crawls, but a training
+pipeline's "never emit the same id twice, EVER" guarantee needs state that
+outlives any watermark. That is exactly the applyInPandasWithState shape:
+an explicit per-group state object the operator reads and updates per
+micro-batch, checkpointed by the engine and restored on restart.
+
+Design:
+* groups are HASH SHARDS of the id (``pmod(xxhash64(id), n_shards)``), not
+  the ids themselves — state lookups batch per shard and the shard count
+  (not the key count) bounds the number of state rows;
+* per-shard state = the sorted array of seen ids. State grows with
+  distinct ids per shard — the honest cost of global exact dedup; shard it
+  wider (or swap the state store to RocksDB on a cluster) as the id space
+  grows. An id-count observe() on the output is the cheap growth monitor.
+* first arrival wins, within and across micro-batches AND across query
+  restarts (the state rides the checkpoint). Among same-batch duplicates
+  the first row in arrival order survives — arrival order inside a
+  micro-batch is not deterministic, so exact-survivor determinism needs an
+  upstream per-batch pre-dedup with an explicit orderer; the ID SET
+  emitted is deterministic regardless.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+_STATE_SCHEMA = StructType([StructField("seen", ArrayType(LongType()))])
+
+
+def dedup_ids_stateful(
+    stream: DataFrame, id_col: str = "id", n_shards: int = 64
+) -> DataFrame:
+    """Emit only the first-ever row per ``id_col`` value, with state that
+    never expires (GroupStateTimeout.NoTimeout). NULL ids are dropped —
+    they are not an identity. Returns a stream with the input's schema."""
+    # same column order the grouped frame carries (original fields, then the
+    # appended shard key) so the yielded pandas frames match positionally
+    out_schema = StructType(
+        [*stream.schema.fields, StructField("_shard", LongType(), False)]
+    )
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:  # pragma: no cover - executed by Spark
+        (seen_list,) = state.get if state.exists else ([],)
+        seen = set(seen_list or [])
+        for pdf in pdfs:
+            fresh = pdf[pdf[id_col].notna() & ~pdf[id_col].isin(seen)]
+            fresh = fresh[~fresh[id_col].duplicated()]
+            if len(fresh):
+                seen.update(int(v) for v in fresh[id_col])
+                yield fresh
+        state.update((sorted(seen),))
+
+    shard = F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_shards))
+    return (
+        stream.withColumn("_shard", shard)
+        .groupBy("_shard")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        .drop("_shard")
+    )

@@ -15,6 +15,7 @@ from productbert_intermediate_spark.streaming.ingest import (
     crawl_stats_stream,
     dedup_pages_streaming,
     run_ingest,
+    stream_extract_offers,
     stream_pages,
 )
 
@@ -128,6 +129,44 @@ def test_windowed_crawl_stats_match_batch(spark, pages_dir, tmp_path):
     must = {r for r in want_rows if r[1] <= horizon}
     assert must <= set(got_rows) <= set(want_rows)
     assert len(got_rows) > 0
+
+
+def test_stateful_global_dedup_across_batches_and_restarts(spark, pages_dir, tmp_path):
+    """applyInPandasWithState exact-dedup: first arrival per id wins across
+    micro-batches AND across query restarts (state rides the checkpoint),
+    with no event-time horizon."""
+    from productbert_intermediate_spark.streaming.stateful import dedup_ids_stateful
+
+    out = str(tmp_path / "uniq")
+    ckpt = str(tmp_path / "uniq_ckpt")
+
+    def run_once():
+        offers = stream_extract_offers(stream_pages(spark, pages_dir))
+        q = (
+            dedup_ids_stateful(offers, id_col="id", n_shards=8)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    batch = extract_offers(read_pages(spark, pages_dir)).where("id is not null")
+    want_ids = {r["id"] for r in batch.select("id").distinct().collect()}
+    got = spark.read.parquet(out)
+    got_ids = [r["id"] for r in got.select("id").collect()]
+    assert len(got_ids) == len(set(got_ids)) == len(want_ids)
+    assert set(got_ids) == want_ids
+
+    # land a file that re-offers ONLY already-seen ids → restart emits nothing
+    dup = pd.read_parquet(f"{pages_dir}/part-0.parquet").copy()
+    dup["url"] = dup["url"] + "?again=1"
+    dup.to_parquet(f"{pages_dir}/part-7.parquet", index=False)
+    run_once()
+    assert spark.read.parquet(out).count() == len(want_ids)
 
 
 def test_stream_pages_schema_is_pinned(spark, pages_dir):
