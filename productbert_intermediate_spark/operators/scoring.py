@@ -491,3 +491,84 @@ def fit_calibration(
 
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
+
+
+# Fixed-point scale for distributed-calibration aggregations: per-row
+# gradient/Hessian contributions are bounded by 1 (features and |p-y| live
+# in [0,1]), so decimal(38,18) sums hold 10^20 rows without overflow while
+# staying EXACT — integer/decimal addition is commutative, so the fitted
+# weights are bit-identical at any partitioning, which float sums are not.
+_CALIB_DECIMAL = "decimal(38,18)"
+
+
+def fit_calibration_distributed(
+    features_df: DataFrame,
+    label_col: str = "label",
+    iters: int = 25,
+    l2: float = 1e-4,
+) -> dict[str, float]:
+    """Distributed logistic calibration over a labeled pair-feature table.
+
+    The driver-side ``fit_calibration`` is right for reference-sized gold
+    sets (thousands of pairs); at the 100 TB design point labeled pairs
+    arrive in the millions and the features must never funnel through the
+    driver. This fits the SAME model (logistic + l2) with IRLS/Newton:
+    each iteration aggregates the 8×8 Hessian ``XᵀRX`` and gradient
+    ``Xᵀ(y−p)`` in ONE Spark job (44 decimal sums — partial-aggregable,
+    map-side combined), and the driver solves the 8×8 system. ~15-25
+    iterations reach the optimum GD needs thousands of steps for, so the
+    serial floor is tens of jobs regardless of data size.
+
+    Determinism: all row contributions are cast to decimal(38,18) before
+    summation — exact, order-independent arithmetic — so the returned
+    weights are bit-identical at any parallelism (the same device as the
+    IVF trainer's fixed-point sums). Fixed iteration count, zero init.
+    """
+    import numpy as np
+
+    cols = ["_bias", *FEATURES]
+    base = features_df.select(
+        F.lit(1.0).alias("_bias"),
+        *[F.col(f) for f in FEATURES],
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    base = base.persist()
+    try:
+        w = np.zeros(len(cols))
+        n = base.count()
+        for _ in range(iters):
+            logit = sum(
+                (F.col(c) * float(w[i]) for i, c in enumerate(cols)),
+                F.lit(0.0),
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+            r = p * (F.lit(1.0) - p)
+            aggs = []
+            for i, ci in enumerate(cols):
+                aggs.append(
+                    F.sum((F.col(ci) * (F.col("_y") - p)).cast(_CALIB_DECIMAL))
+                    .alias(f"g{i}")
+                )
+                for j, cj in enumerate(cols[: i + 1]):
+                    aggs.append(
+                        F.sum((F.col(ci) * F.col(cj) * r).cast(_CALIB_DECIMAL))
+                        .alias(f"h{i}_{j}")
+                    )
+            row = base.agg(*aggs).collect()[0]
+            g = np.array([float(row[f"g{i}"]) for i in range(len(cols))])
+            H = np.zeros((len(cols), len(cols)))
+            for i in range(len(cols)):
+                for j in range(i + 1):
+                    H[i, j] = H[j, i] = float(row[f"h{i}_{j}"])
+            # same objective as fit_calibration: mean NLL + (l2/2)·|w|²
+            # with the penalty on EVERY weight including bias — the two
+            # fitters must converge to the same optimum
+            reg = l2 * n * np.eye(len(cols))
+            grad = g - l2 * n * w
+            w = w + np.linalg.solve(H + reg + 1e-9 * np.eye(len(cols)), grad)
+        out = {"bias": float(w[0])}
+        for i, feat in enumerate(FEATURES):
+            out[feat] = float(w[i + 1])
+        return out
+    finally:
+        base.unpersist()

@@ -110,6 +110,38 @@ def test_price_value_multi_locale():
             assert v == pytest.approx(want), (raw, v, want)
 
 
+def test_fit_calibration_distributed_matches_driver_fit(spark):
+    """IRLS over decimal-exact Spark aggregations converges to the same
+    l2-regularized optimum the driver-side GD fitter approaches — weights
+    agree to small tolerance, predictions agree exactly."""
+    rng = np.random.RandomState(11)
+    X = pd.DataFrame(rng.rand(400, len(S.FEATURES)), columns=list(S.FEATURES))
+    # noisy labels + stronger l2 → strongly convex objective with an O(1)
+    # optimum both fitters actually reach (near-separable data would leave
+    # GD far from the optimum Newton finds)
+    y = (X["jac_tokens"] + X["digit_jac"] + 0.5 * rng.randn(400) > 1.0).astype(int)
+    w_driver = S.fit_calibration(X, y, iters=6000, l2=1e-2)
+    df = spark.createDataFrame(X.assign(label=y))
+    w_dist = S.fit_calibration_distributed(df, iters=25, l2=1e-2)
+    for k in w_driver:
+        assert abs(w_driver[k] - w_dist[k]) < 0.05, (k, w_driver[k], w_dist[k])
+    logit_a = w_driver["bias"] + X.to_numpy() @ np.array([w_driver[f] for f in S.FEATURES])
+    logit_b = w_dist["bias"] + X.to_numpy() @ np.array([w_dist[f] for f in S.FEATURES])
+    assert ((logit_a > 0) == (logit_b > 0)).mean() > 0.995
+
+
+def test_fit_calibration_distributed_parallelism_invariant(spark):
+    """Decimal-exact sums → bit-identical weights at different partition
+    counts (float sums would differ in the last ulps)."""
+    rng = np.random.RandomState(3)
+    X = pd.DataFrame(rng.rand(300, len(S.FEATURES)), columns=list(S.FEATURES))
+    y = (X["emb_cos"] > 0.5).astype(int)
+    df = spark.createDataFrame(X.assign(label=y))
+    w1 = S.fit_calibration_distributed(df.repartition(2), iters=8)
+    w2 = S.fit_calibration_distributed(df.repartition(37), iters=8)
+    assert w1 == w2
+
+
 def test_fit_calibration_deterministic():
     rng = np.random.RandomState(7)
     X = pd.DataFrame(
