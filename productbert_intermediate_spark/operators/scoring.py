@@ -293,23 +293,87 @@ def score_pairs(
 TEXT_BROADCAST_MAX_OFFERS = 300_000
 
 
-def build_text_index_broadcast(offers: DataFrame):
+# Above this many offers the index embeddings are computed distributed
+# (mapInPandas) instead of on the driver. Crossover measured at 57k offers
+# on local[32]: driver embed ≈ 3s serial vs distributed ≈ embed/cores +
+# ~1.3s Arrow transfer+assembly — the driver path wins small corpora, the
+# distributed path wins as soon as serial embed time exceeds the fixed
+# transfer cost (and removes a linear-in-corpus serial floor at scale).
+INDEX_DISTRIBUTED_EMBED_MIN_OFFERS = 100_000
+
+
+def build_text_index_broadcast(offers: DataFrame, n_offers: int | None = None):
     """Collect the per-offer scoring index (ids, float32 embeddings, texts,
     title lengths) and broadcast it. One-time setup per scoring run — the
-    analog of loading the frozen matcher before the eval loop."""
-    from ..functions.similarity import build_offer_text_index
+    analog of loading the frozen matcher before the eval loop.
+
+    Beyond INDEX_DISTRIBUTED_EMBED_MIN_OFFERS offers, embeddings are
+    computed DISTRIBUTED (mapInPandas, float32 bytes through Arrow) and
+    only assembled on the driver — driver-side embedding is a serial floor
+    that grows linearly with the corpus. embed_texts is row-local
+    (per-text feature hashing, per-row normalization), so both paths are
+    bit-identical at any batch shape (pinned by test).
+    """
+    import numpy as np
+
+    from ..functions.similarity import (
+        EMBED_DIM,
+        build_offer_text_index,
+        embed_texts,
+    )
 
     prepped = prepare_offers_for_scoring(offers)
-    pdf = prepped.select(
+    sel = prepped.select(
         "id",
         "_btext",
         F.length(F.lower(F.coalesce("title", F.lit("")))).alias("_tl"),
-    ).toPandas()
-    index = build_offer_text_index(
-        pdf["id"].to_numpy(),
-        pdf["_btext"].tolist(),
-        pdf["_tl"].fillna(0).to_numpy(),
     )
+    if n_offers is None:
+        n_offers = offers.count()
+    if n_offers < INDEX_DISTRIBUTED_EMBED_MIN_OFFERS:
+        pdf = sel.toPandas()
+        index = build_offer_text_index(
+            pdf["id"].to_numpy(),
+            pdf["_btext"].tolist(),
+            pdf["_tl"].fillna(0).to_numpy(),
+        )
+        return offers.sparkSession.sparkContext.broadcast(index)
+
+    def _embed(batches):  # pragma: no cover - executed by Spark
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = embed_texts(pdf["_btext"].tolist()).astype(np.float32)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "_btext": pdf["_btext"],
+                    "_tl": pdf["_tl"].fillna(0).astype("int32"),
+                    "_emb": [v.tobytes() for v in vecs],
+                }
+            )
+
+    pdf = sel.mapInPandas(
+        _embed, schema="id long, _btext string, _tl int, _emb binary"
+    ).toPandas()
+    order = np.argsort(pdf["id"].to_numpy())
+    sorted_ids = pdf["id"].to_numpy()[order]
+    texts = [t or "" for t in pdf["_btext"].tolist()]
+    texts = [texts[i] for i in order]
+    blobs = pdf["_emb"].to_numpy()[order]
+    emb = (
+        np.frombuffer(b"".join(blobs), dtype=np.float32).reshape(
+            len(sorted_ids), EMBED_DIM
+        )
+        if len(sorted_ids)
+        else np.zeros((0, EMBED_DIM), dtype=np.float32)
+    )
+    index = {
+        "ids": sorted_ids,
+        "emb": emb,
+        "texts": texts,
+        "tlens": pdf["_tl"].to_numpy()[order].astype(np.int32),
+    }
     return offers.sparkSession.sparkContext.broadcast(index)
 
 
@@ -352,7 +416,7 @@ def score_candidates(
         use_text_broadcast = n_offers <= TEXT_BROADCAST_MAX_OFFERS
     small_offers = text_index_broadcast is not None or bool(use_text_broadcast)
     if small_offers and text_index_broadcast is None:
-        text_index_broadcast = build_text_index_broadcast(offers)
+        text_index_broadcast = build_text_index_broadcast(offers, n_offers=n_offers)
     narrow = build_pair_features_narrow(
         pairs,
         offers,

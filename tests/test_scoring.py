@@ -110,6 +110,23 @@ def test_price_value_multi_locale():
             assert v == pytest.approx(want), (raw, v, want)
 
 
+def test_text_index_distributed_embed_bit_identical(spark, fixtures_dir):
+    """The distributed (mapInPandas) index-embed path must be bit-identical
+    to the driver-side path — embed_texts is row-local, so batch shape and
+    locality cannot change a single float."""
+    offers = extract_offers(
+        spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+    ).where("id is not null")
+    n = offers.count()
+    bc_small = S.build_text_index_broadcast(offers, n_offers=n)  # driver path
+    bc_large = S.build_text_index_broadcast(offers, n_offers=10**9)  # forced distributed
+    a, b = bc_small.value, bc_large.value
+    assert np.array_equal(a["ids"], b["ids"])
+    assert np.array_equal(a["emb"], b["emb"])
+    assert a["texts"] == b["texts"]
+    assert np.array_equal(a["tlens"], b["tlens"])
+
+
 def test_fit_calibration_distributed_matches_driver_fit(spark):
     """IRLS over decimal-exact Spark aggregations converges to the same
     l2-regularized optimum the driver-side GD fitter approaches — weights
