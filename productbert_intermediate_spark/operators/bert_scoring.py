@@ -149,6 +149,32 @@ def score_pairs_with_encoder(
 # ------------------------------------------------- pipeline-level wiring
 
 
+def _corpus_token_df(
+    texts: DataFrame, text_col: str, min_df: int, max_vocab: int
+) -> DataFrame:
+    """Shared vocabulary plan: basic-tokenize each text (the SAME tokenizer
+    the encoder applies at scoring time — lowercase, accent-strip,
+    punctuation-split), explode distinct tokens, keep df ≥ min_df, top
+    max_vocab with ties broken by token text so the result is identical at
+    any parallelism. ONE definition — both vocabulary entry points consume
+    it, so the tokenize/df/tie-break contract cannot drift between them."""
+
+    @pandas_udf(ArrayType(StringType()))
+    def _basic_tok(s: pd.Series) -> pd.Series:  # pragma: no cover - executor
+        return s.map(lambda t: basic_tokenize(t) if t else [])
+
+    toks = texts.select(
+        F.explode(F.array_distinct(_basic_tok(F.col(text_col)))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .orderBy(F.col("df").desc(), F.col("token"))
+        .limit(max_vocab)
+    )
+
+
 def build_vocab_from_corpus(
     texts: DataFrame,
     text_col: str = "text",
@@ -160,30 +186,11 @@ def build_vocab_from_corpus(
     The reference ships a pretrained WordPiece vocab file with its
     fine-tuned checkpoint (process_to_bert.py loads BertTokenizer from a
     model dir); this engine has no checkpoint to load, so the vocabulary is
-    derived from the corpus itself with the SAME basic tokenizer the encoder
-    applies at scoring time (lowercase, accent-strip, punctuation-split) —
-    tokens the tokenizer can emit are exactly the tokens counted here.
-
-    Scale: document frequency is a distributed explode→groupBy; only the
-    surviving (df ≥ min_df, top-max_vocab) tokens are collected. The driver
-    collect is bounded by max_vocab (BERT vocabularies are ~30k; 200k word
-    rows ≈ a few MB), never by corpus size. Ties at the df cutoff break by
-    token text so the vocabulary is identical at any parallelism.
+    derived from the corpus itself (see _corpus_token_df for the plan).
+    The driver collect is bounded by max_vocab (BERT vocabularies are ~30k;
+    200k word rows ≈ a few MB), never by corpus size.
     """
-
-    @pandas_udf(ArrayType(StringType()))
-    def _basic_tok(s: pd.Series) -> pd.Series:  # pragma: no cover - executor
-        return s.map(lambda t: basic_tokenize(t) if t else [])
-
-    toks = texts.select(F.explode(F.array_distinct(_basic_tok(F.col(text_col)))).alias("token"))
-    rows = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") >= min_df)
-        .orderBy(F.col("df").desc(), F.col("token"))
-        .limit(max_vocab)
-        .collect()
-    )
+    rows = _corpus_token_df(texts, text_col, min_df, max_vocab).collect()
     return WordPieceVocab.from_tokens(sorted(r["token"] for r in rows))
 
 
@@ -199,22 +206,10 @@ def build_vocab_and_idf_from_corpus(
     vocabulary tokens; the four specials get weight 0 — [PAD]/[CLS]/[SEP]
     are masked by the encoder anyway, and [UNK] weight 0 stops two
     *different* out-of-vocabulary tokens (which share the single UNK vector)
-    from reading as a match. Same scale bounds as build_vocab_from_corpus.
+    from reading as a match. Same plan and scale bounds as
+    build_vocab_from_corpus (shared via _corpus_token_df).
     """
-
-    @pandas_udf(ArrayType(StringType()))
-    def _basic_tok(s: pd.Series) -> pd.Series:  # pragma: no cover - executor
-        return s.map(lambda t: basic_tokenize(t) if t else [])
-
-    toks = texts.select(F.explode(F.array_distinct(_basic_tok(F.col(text_col)))).alias("token"))
-    agg = (
-        toks.groupBy("token")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") >= min_df)
-        .orderBy(F.col("df").desc(), F.col("token"))
-        .limit(max_vocab)
-    )
-    rows = agg.collect()
+    rows = _corpus_token_df(texts, text_col, min_df, max_vocab).collect()
     n_docs = texts.count()
     df_of = {r["token"]: r["df"] for r in rows}
     vocab = WordPieceVocab.from_tokens(sorted(df_of))

@@ -596,6 +596,15 @@ def fit_calibration_distributed(
         *[F.col(f) for f in FEATURES],
         F.col(label_col).cast("double").alias("_y"),
     )
+    # NULL rows would silently skew the fit: F.sum skips NULL per-aggregate,
+    # so a NULL label drops out of the gradient but not the Hessian or the
+    # l2·n regularizer — an inconsistent Newton system. Filter them so every
+    # aggregate and the row count see the same population (the driver-side
+    # fitter on the same rows would propagate NaN and fail loudly instead).
+    notnull = F.col("_y").isNotNull()
+    for f in FEATURES:
+        notnull = notnull & F.col(f).isNotNull()
+    base = base.where(notnull)
     base = base.persist()
     try:
         w = np.zeros(len(cols))

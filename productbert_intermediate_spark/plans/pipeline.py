@@ -135,10 +135,14 @@ def run_pipeline(
         from ..operators.bert_scoring import score_candidates_with_encoder
 
         k_scored = _params_key(parent=k_pairs, scorer="encoder")
+        # unknown size must take the SAFE (non-broadcast) direction — an
+        # absent manifest row count with broadcast on would ship an
+        # arbitrarily large offers table to every task
         build_scored = lambda: score_candidates_with_encoder(  # noqa: E731
             candidates,
             offers,
-            broadcast_offers=(n_offers or 0) <= S.TEXT_BROADCAST_MAX_OFFERS,
+            broadcast_offers=n_offers is not None
+            and n_offers <= S.TEXT_BROADCAST_MAX_OFFERS,
         )
     else:
         raise ValueError(f"unknown scorer {scorer!r} (logistic|encoder)")

@@ -55,16 +55,21 @@ def stream_pages(
 
 
 def dedup_pages_streaming(pages: DataFrame, lateness: str = "1 hour") -> DataFrame:
-    """First-crawl-wins url dedup across micro-batches.
+    """First-crawl-wins url dedup across micro-batches, bounded state.
 
-    State is keyed by url and evicted once event time passes
-    warc_ts + lateness, so it is bounded by crawl rate × lateness — not by
-    corpus size. Semantics note: streaming keeps the FIRST arrival of a
-    url (later re-crawls inside the window are dropped); the batch
-    pipeline's optional dedup keeps the LATEST warc_ts — callers wanting
-    batch parity re-dedup the offer table at compaction time.
+    ``dropDuplicatesWithinWatermark`` is the operator whose per-url state
+    actually EVICTS at the event-time horizon (plain ``dropDuplicates`` on
+    a subset without the event-time column keeps state forever — unbounded
+    at crawl scale), so state is bounded by crawl rate × lateness, not by
+    corpus size. Semantics: the first arrival of a url wins; re-crawls
+    inside the lateness window are dropped; a re-crawl arriving after the
+    window is NEW and flows through (the batch pipeline's optional dedup
+    keeps the LATEST warc_ts instead — callers wanting batch parity
+    re-dedup the offer table at compaction time).
     """
-    return pages.withWatermark("warc_ts", lateness).dropDuplicates(["url"])
+    return pages.withWatermark("warc_ts", lateness).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
 
 
 def stream_extract_offers(pages: DataFrame, lang: str = "en") -> DataFrame:

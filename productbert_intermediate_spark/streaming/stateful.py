@@ -44,6 +44,15 @@ def dedup_ids_stateful(
     they are not an identity. Returns a stream with the input's schema."""
     # same column order the grouped frame carries (original fields, then the
     # appended shard key) so the yielded pandas frames match positionally
+    # long-id contract, checked loudly: the state array is array<long> and
+    # a silently NULL-casting shard key would both serialize every row into
+    # ONE state group and crash int() later
+    id_type = stream.schema[id_col].dataType.simpleString()
+    if id_type not in ("bigint", "int", "smallint", "tinyint"):
+        raise TypeError(
+            f"dedup_ids_stateful requires an integral id column; "
+            f"{id_col!r} is {id_type}"
+        )
     out_schema = StructType(
         [*stream.schema.fields, StructField("_shard", LongType(), False)]
     )
@@ -61,7 +70,7 @@ def dedup_ids_stateful(
                 yield fresh
         state.update((sorted(seen),))
 
-    shard = F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_shards))
+    shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     return (
         stream.withColumn("_shard", shard)
         .groupBy("_shard")

@@ -169,6 +169,75 @@ def test_stateful_global_dedup_across_batches_and_restarts(spark, pages_dir, tmp
     assert spark.read.parquet(out).count() == len(want_ids)
 
 
+def test_url_dedup_state_evicts_at_watermark_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics: a re-crawl INSIDE the
+    lateness window is dropped; once the watermark passes first_seen +
+    lateness the state evicts, and a much-later re-crawl flows through.
+    (Plain dropDuplicates on url would hold state forever and drop both.)"""
+    import time as _time
+
+    base = pd.Timestamp("2021-01-01T00:00:00")
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+
+    def page(url, ts):
+        return {
+            "url": url, "warc_ts": ts.to_datetime64(),
+            "html": b"<html/>", "text": f"<<sku>>1<</sku>><<title>>\"t\"@en <</title>>",
+            "lang": "en",
+        }
+
+    # batch a: url X at T0 (+ a same-window dup of X that must drop)
+    pd.DataFrame([page("X", base), page("X", base + pd.Timedelta("5 minutes"))]).astype(
+        {"warc_ts": "datetime64[us]"}
+    ).to_parquet(f"{land}/a.parquet", index=False)
+    _time.sleep(1.1)
+    # batch b: unrelated url advancing the watermark far past X's horizon
+    pd.DataFrame([page("Y", base + pd.Timedelta("10 days"))]).astype(
+        {"warc_ts": "datetime64[us]"}
+    ).to_parquet(f"{land}/b.parquet", index=False)
+    _time.sleep(1.1)
+    # batch c: filler — state eviction runs at batch COMMIT, so X's entry
+    # clears at the end of the first batch processed under the advanced
+    # watermark, one batch before the re-crawl arrives
+    pd.DataFrame([page("Z", base + pd.Timedelta("10 days"))]).astype(
+        {"warc_ts": "datetime64[us]"}
+    ).to_parquet(f"{land}/c.parquet", index=False)
+    _time.sleep(1.1)
+    # batch d: X re-crawled 10 days later — state evicted → must be emitted
+    pd.DataFrame([page("X", base + pd.Timedelta("10 days 1 hour"))]).astype(
+        {"warc_ts": "datetime64[us]"}
+    ).to_parquet(f"{land}/d.parquet", index=False)
+
+    deduped = dedup_pages_streaming(
+        stream_pages(spark, land, max_files_per_trigger=1), lateness="1 hour"
+    )
+    out = str(tmp_path / "sink")
+    q = (
+        deduped.select("url", "warc_ts")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["url"], r["warc_ts"]) for r in spark.read.parquet(out).collect()
+    )
+    urls = [u for u, _ in got]
+    # first X, late-recrawl X, Y, Z — the same-window dup X is gone
+    assert urls == ["X", "X", "Y", "Z"], got
+
+
+def test_stateful_dedup_rejects_non_integral_id(spark, pages_dir):
+    from productbert_intermediate_spark.streaming.stateful import dedup_ids_stateful
+
+    with pytest.raises(TypeError, match="integral id column"):
+        dedup_ids_stateful(stream_pages(spark, pages_dir), id_col="url")
+
+
 def test_stream_pages_schema_is_pinned(spark, pages_dir):
     s = stream_pages(spark, pages_dir)
     assert s.isStreaming
