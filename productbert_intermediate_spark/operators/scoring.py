@@ -186,6 +186,12 @@ def _price_value(col_name: str):
       no currency hint the en default is the documented tie-break);
     * unparseable → NULL (the 0.5-neutral feature fallback downstream).
     """
+    # Perf note: this chain costs ~2.4s of a 22s features stage at 2.65M
+    # pairs vs the old strip-everything parser (interleaved A/B, min-of-4);
+    # a fast-path guard (skip the chain when the numeric run has no comma
+    # and ≤1 dot) measured SLOWER than the plain chain — branch predicates
+    # are paid on every row while codegen already short-circuits the
+    # when-chain — so the unguarded form stands.
     s = F.coalesce(F.col(col_name), F.lit(""))
     core = F.regexp_extract(s, r"([0-9][0-9.,]*)", 1)
     # ",[^.]*$" ⟺ some comma has no dot after it ⟺ comma occurs last
