@@ -98,16 +98,21 @@ def score_pairs_with_encoder(
     encoder: EncoderFn | None = None,
     wordpiece: bool = True,
     threshold: float = 0.5,
+    token_weights: np.ndarray | None = None,
 ) -> DataFrame:
     """pairs(+texts) → + (logit, score, match) via encode → frozen encoder.
 
     One mapInPandas stage; passthrough columns are preserved. The encoder
     factory default is built lazily INSIDE the task (once per task, reused
     for every Arrow batch it serves) so heavyweight weights never serialize
-    through the driver per-batch.
+    through the driver per-batch. ``token_weights`` (e.g. corpus IDF) rides
+    a broadcast — ~4 bytes/token — and the [vocab, dim] embedding table is
+    derived from it in-task; passing a table-capturing ``encoder`` closure
+    instead would pickle the whole table into every task command.
     """
     spark = pairs.sparkSession
     bc_vocab = spark.sparkContext.broadcast(vocab)
+    bc_weights = spark.sparkContext.broadcast(token_weights)
     vocab_size = len(vocab.tokens)
     # fresh StructType — DataFrame.schema returns the df's cached schema
     # object and StructType.add mutates in place
@@ -122,7 +127,9 @@ def score_pairs_with_encoder(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         v = bc_vocab.value
-        enc = encoder or make_default_frozen_encoder(vocab_size)
+        enc = encoder or make_default_frozen_encoder(
+            vocab_size, token_weights=bc_weights.value
+        )
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -251,6 +258,7 @@ def score_candidates_with_encoder(
     from ..functions.text import token_prefix
     from .scoring import blocking_text, hydrate_pairs
 
+    idf = None
     if vocab is None:
         # vocabulary over the SAME per-offer text the encoder will see;
         # when the encoder is also defaulted, its token vectors get corpus
@@ -260,8 +268,12 @@ def score_candidates_with_encoder(
         desc5 = token_prefix(F.coalesce(F.col("description"), F.lit("")), 5)
         corpus = offers.select(F.lower(F.concat_ws(" ", title, desc5)).alias("text"))
         if encoder is None:
+            # leave encoder=None and ship only the ~4-byte/token idf vector:
+            # score_pairs_with_encoder broadcasts it and builds the
+            # [vocab, dim] table lazily inside each task (the seam exists
+            # for exactly this — an eager make_default_frozen_encoder here
+            # would closure-capture up to ~50 MB into the task command)
             vocab, idf = build_vocab_and_idf_from_corpus(corpus, min_df=vocab_min_df)
-            encoder = make_default_frozen_encoder(len(vocab.tokens), token_weights=idf)
         else:
             vocab = build_vocab_from_corpus(corpus, min_df=vocab_min_df)
     hydrated = hydrate_pairs(
@@ -277,6 +289,6 @@ def score_candidates_with_encoder(
     scored = score_pairs_with_encoder(
         texts, "_b_l", "_b_r", vocab,
         max_length=max_length, encoder=encoder, wordpiece=True,
-        threshold=threshold,
+        threshold=threshold, token_weights=idf,
     )
     return scored.select("id_l", "id_r", "logit", "score", "match")

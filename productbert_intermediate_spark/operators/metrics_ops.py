@@ -11,6 +11,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# sentinel: an observation whose action FAILED (vs one still pending) —
+# harvest() drops it instead of re-polling it to the deadline forever
+_DEAD = object()
+
 
 def confusion_counts(
     df: DataFrame, pred: str = "match", label: str = "label"
@@ -104,6 +108,12 @@ class MetricTracker:
         for obs in self._pending:
             while True:
                 got = self._try_get(obs)
+                if got is _DEAD:
+                    # terminal: the observed action failed — drop the
+                    # observation (and its getter thread's box) instead of
+                    # re-polling it to the deadline on every future harvest
+                    self._getters.pop(id(obs), None)
+                    break
                 if got is not None:
                     self._getters.pop(id(obs), None)
                     for name, val in got.items():
@@ -125,8 +135,9 @@ class MetricTracker:
         (future PySpark) — callers fall back to the public API then."""
         return obs._jo.getRowOrEmpty().isDefined()
 
-    def _try_get(self, obs) -> dict | None:
-        """Completed observation's metrics dict, or None (bounded wait).
+    def _try_get(self, obs):
+        """Completed observation's metrics dict, ``_DEAD`` if the observed
+        action failed (terminal — caller must drop it), or None (pending).
 
         Fast path peeks the JVM result via the private ``_jo`` handle —
         ``getRowOrEmpty`` awaits up to ~100 ms internally, so the harvest
@@ -163,6 +174,8 @@ class MetricTracker:
         t, result = box
         t.join(0.1)
         _time.sleep(0)  # yield so the getter thread can publish
+        if result.get("e"):
+            return _DEAD
         return result.get("v")
 
     def avg(self, key: str) -> float | None:

@@ -193,6 +193,16 @@ def _price_value(col_name: str):
     # are paid on every row while codegen already short-circuits the
     # when-chain — so the unguarded form stands.
     s = F.coalesce(F.col(col_name), F.lit(""))
+    # Join space/NBSP/narrow-NBSP/thin-space digit GROUPING ("1 234,56" —
+    # fr/ru WDC locales) into one contiguous run BEFORE extraction:
+    # otherwise the numeric run stops at the space and "1 234,56" parses to
+    # the confidently-wrong 1.0. Strictly 3-digit groups only, so "2 for
+    # 10.99" ("10" is not a group) keeps its separate numbers.
+    s = F.regexp_replace(
+        s,
+        "(?<=[0-9])[ \\x{00A0}\\x{202F}\\x{2009}](?=[0-9]{3}([^0-9]|$))",
+        "",
+    )
     core = F.regexp_extract(s, r"([0-9][0-9.,]*)", 1)
     # ",[^.]*$" ⟺ some comma has no dot after it ⟺ comma occurs last
     comma_decimal_both = core.rlike(r"\.") & core.rlike(r",[^.]*$")

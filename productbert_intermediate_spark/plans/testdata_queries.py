@@ -2309,13 +2309,19 @@ REGISTRY: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
-    # Spark-private (no SQL equivalent → rows-only driver check)
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    # oracle-backed twins of the Spark-private queries below (full pipeline
+    # machinery under parameters that make the semantics SQL-expressible)
     "ann_ivf_probeall": (q_ann_ivf_probeall, SQL_ANN_IVF_PROBEALL),
-    "porter_stem": (q_porter_stem, None),
     "porter_stem_golden": (q_porter_stem_golden, SQL_PORTER_STEM_GOLDEN),
-    "er_score_pairs": (q_er_score_pairs, None),
     "er_score_pairs_jvm": (q_er_score_pairs_jvm, SQL_ER_SCORE_PAIRS_JVM),
-    "er_entities": (q_er_entities, None),
     "er_entities_jvm": (q_er_entities_jvm, SQL_ER_ENTITIES_JVM),
+    # Spark-private (no SQL equivalent → rows-only driver check). These sit
+    # LAST deliberately: the driver's correctness window covers the first 50
+    # registry entries, and every slot it spends on a rows-only query is an
+    # oracle row lost — the rows-only queries ride pytest plus their oracle
+    # twins above (VERDICT r3 §Next-round #1).
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "porter_stem": (q_porter_stem, None),
+    "er_score_pairs": (q_er_score_pairs, None),
+    "er_entities": (q_er_entities, None),
 }

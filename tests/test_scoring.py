@@ -90,6 +90,12 @@ def test_price_value_multi_locale():
         ("12,99", 12.99),        # lone comma + 2 decimals → decimal
         ("1,234", 1234.0),       # lone comma + 3 digits → grouping
         ("1.234.567", 1234567.0),  # repeated dots → grouping
+        ("1 234,56", 1234.56),     # fr: space grouping, comma decimal
+        ("1 234,56", 1234.56),  # NBSP grouping (fr/ru WDC html)
+        ("1 234 567", 1234567.0),  # narrow-NBSP grouping
+        ("1 234 567,89", 1234567.89),
+        ("2 for 10.99", 2.0),      # "10" is no 3-digit group → not joined
+        ("10 12", 10.0),           # two numbers, not grouping
         ("$1,234.00", 1234.0),
         ("USD 123", 123.0),
         ("123.99", 123.99),
