@@ -14,7 +14,9 @@ Design:
 * per-shard state = the sorted array of seen ids. State grows with
   distinct ids per shard — the honest cost of global exact dedup; shard it
   wider (or swap the state store to RocksDB on a cluster) as the id space
-  grows. An id-count observe() on the output is the cheap growth monitor.
+  grows. ``state_size_col`` turns that growth observable: each emitted row
+  carries its shard's seen-id count and the stream observe()s the
+  per-batch max into StreamingQueryProgress.
 * first arrival wins, within and across micro-batches AND across query
   restarts (the state rides the checkpoint). Among same-batch duplicates
   the first row in arrival order survives — arrival order inside a
@@ -37,11 +39,24 @@ _STATE_SCHEMA = StructType([StructField("seen", ArrayType(LongType()))])
 
 
 def dedup_ids_stateful(
-    stream: DataFrame, id_col: str = "id", n_shards: int = 64
+    stream: DataFrame,
+    id_col: str = "id",
+    n_shards: int = 64,
+    state_size_col: str | None = None,
 ) -> DataFrame:
     """Emit only the first-ever row per ``id_col`` value, with state that
     never expires (GroupStateTimeout.NoTimeout). NULL ids are dropped —
-    they are not an identity. Returns a stream with the input's schema."""
+    they are not an identity. Returns a stream with the input's schema.
+
+    ``state_size_col`` names an extra long column to emit carrying the
+    row's shard's post-batch seen-id count — the state-GROWTH monitor for
+    an operator whose state never evicts by design. When set, the stream
+    also carries an ``observe("dedup_ids_state", max(col), count(*))`` so
+    each micro-batch's peak shard state surfaces in
+    ``StreamingQueryProgress.observedMetrics`` without reading the sink;
+    max(col) × n_shards upper-bounds total state rows, and a shard whose
+    count nears executor memory is the page-this-before-it-kills-the-
+    cluster signal (resharding wider / RocksDB are the remedies)."""
     # same column order the grouped frame carries (original fields, then the
     # appended shard key) so the yielded pandas frames match positionally
     # long-id contract, checked loudly: the state array is array<long> and
@@ -53,9 +68,10 @@ def dedup_ids_stateful(
             f"dedup_ids_stateful requires an integral id column; "
             f"{id_col!r} is {id_type}"
         )
-    out_schema = StructType(
-        [*stream.schema.fields, StructField("_shard", LongType(), False)]
-    )
+    out_fields = [*stream.schema.fields, StructField("_shard", LongType(), False)]
+    if state_size_col is not None:
+        out_fields.append(StructField(state_size_col, LongType(), False))
+    out_schema = StructType(out_fields)
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -67,11 +83,15 @@ def dedup_ids_stateful(
             fresh = fresh[~fresh[id_col].duplicated()]
             if len(fresh):
                 seen.update(int(v) for v in fresh[id_col])
+                if state_size_col is not None:
+                    # post-update count: every emitted row reports how big
+                    # its shard's seen-set is once the row is in it
+                    fresh = fresh.assign(**{state_size_col: len(seen)})
                 yield fresh
         state.update((sorted(seen),))
 
     shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
-    return (
+    out = (
         stream.withColumn("_shard", shard)
         .groupBy("_shard")
         .applyInPandasWithState(
@@ -83,3 +103,10 @@ def dedup_ids_stateful(
         )
         .drop("_shard")
     )
+    if state_size_col is not None:
+        out = out.observe(
+            "dedup_ids_state",
+            F.max(state_size_col).alias("max_shard_seen_ids"),
+            F.count(F.lit(1)).alias("emitted_rows"),
+        )
+    return out

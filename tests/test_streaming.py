@@ -231,6 +231,65 @@ def test_url_dedup_state_evicts_at_watermark_horizon(spark, tmp_path):
     assert urls == ["X", "X", "Y", "Z"], got
 
 
+def test_stateful_dedup_state_growth_monitor(spark, pages_dir, tmp_path):
+    """state_size_col surfaces state GROWTH for an operator whose state
+    never evicts by design: every emitted row carries its shard's
+    post-batch seen-id count, the per-shard max equals that shard's true
+    distinct-id count, and the per-batch peak lands in
+    StreamingQueryProgress.observedMetrics across micro-batches — the
+    page-before-it-kills-the-cluster signal VERDICT r3 asked for."""
+    from productbert_intermediate_spark.streaming.stateful import dedup_ids_stateful
+
+    n_shards = 8
+    out = str(tmp_path / "uniq")
+    offers = stream_extract_offers(
+        stream_pages(spark, pages_dir, max_files_per_trigger=1)
+    )
+    q = (
+        dedup_ids_stateful(
+            offers, id_col="id", n_shards=n_shards, state_size_col="_seen_ids"
+        )
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    shard = F.pmod(F.xxhash64(F.col("id")), F.lit(n_shards))
+    # per-shard: the max reported count == the shard's distinct-id count
+    # (the last row into a shard's seen-set reports its full size)
+    per_shard = (
+        got.groupBy(shard.alias("s"))
+        .agg(
+            F.max("_seen_ids").alias("reported"),
+            F.countDistinct("id").alias("actual"),
+        )
+        .collect()
+    )
+    assert len(per_shard) > 0
+    for r in per_shard:
+        assert r["reported"] == r["actual"], r
+
+    # observedMetrics: each micro-batch that emitted rows published a
+    # dedup_ids_state row; the peak over batches == the true peak shard
+    # size, and emitted_rows sums to the distinct-id total
+    obs = [
+        p["observedMetrics"]["dedup_ids_state"]
+        for p in (q.recentProgress or [])
+        if p.get("observedMetrics", {}).get("dedup_ids_state")
+        and p["observedMetrics"]["dedup_ids_state"]["emitted_rows"]
+    ]
+    assert len(obs) >= 2, "expected metrics from multiple micro-batches"
+    assert max(m["max_shard_seen_ids"] for m in obs) == max(
+        r["actual"] for r in per_shard
+    )
+    assert sum(m["emitted_rows"] for m in obs) == got.count()
+
+
 def test_stateful_dedup_rejects_non_integral_id(spark, pages_dir):
     from productbert_intermediate_spark.streaming.stateful import dedup_ids_stateful
 
