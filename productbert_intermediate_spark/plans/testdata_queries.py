@@ -2257,6 +2257,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# §2.8 streaming — the batch-checkable twin of the stateful streaming dedup.
+# The real Structured-Streaming machinery runs as the query's side effect
+# (file-source readStream over two deterministic "crawls" of documents,
+# applyInPandasWithState global dedup, checkpointed parquet sink,
+# Trigger.AvailableNow); the returned frame is a batch read of the sink.
+# First arrival wins and crawl 0 lands first by construction, so the oracle
+# is the documents table verbatim — and crawl 1's perturbed values (re:
+# source prefix, n_chars+1) make a wrong survivor hash-visible, not just
+# count-visible. See streaming/harness.py for the determinism contract.
+
+
+def q_streaming_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming global exact-dedup (streaming/stateful.py) over a two-crawl
+    landing of the documents table; emits exactly the first crawl."""
+    from ..streaming.harness import dedup_documents_two_crawls
+
+    return dedup_documents_two_crawls(spark, sf_dir)
+
+
+SQL_STREAMING_DEDUP_TWIN = """
+select doc_id, lang, source, n_chars, cast(0 as bigint) as crawl
+from documents where doc_id is not null
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple] = {
@@ -2315,6 +2341,9 @@ REGISTRY: dict[str, tuple] = {
     "porter_stem_golden": (q_porter_stem_golden, SQL_PORTER_STEM_GOLDEN),
     "er_score_pairs_jvm": (q_er_score_pairs_jvm, SQL_ER_SCORE_PAIRS_JVM),
     "er_entities_jvm": (q_er_entities_jvm, SQL_ER_ENTITIES_JVM),
+    # §2.8 streaming, driver-checkable: the stateful streaming dedup run
+    # end-to-end with a batch SQL oracle (see q_streaming_dedup_twin)
+    "streaming_dedup_twin": (q_streaming_dedup_twin, SQL_STREAMING_DEDUP_TWIN),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit
     # LAST deliberately: the driver's correctness window covers the first 50
     # registry entries, and every slot it spends on a rows-only query is an

@@ -1,0 +1,155 @@
+"""Batch-checkable harness around the streaming dedup path.
+
+The grading driver (and any batch oracle) can only compare DataFrames, so
+the streaming operators' evidence was pytest-only until this module: it
+runs the real Structured-Streaming machinery — file-source readStream,
+``dedup_ids_stateful`` (applyInPandasWithState), parquet sink with a
+checkpoint, ``Trigger.AvailableNow`` — end-to-end over a deterministic
+landing directory, then returns the SINK as a batch DataFrame whose
+contents a plain SQL oracle can reproduce.
+
+Determinism contract (what makes a stream SQL-checkable):
+
+* the landing files carry distinct modification times, and the file source
+  processes files oldest-first — so "crawl 0 before crawl 1" arrival order
+  is a property of the input layout, not of scheduling;
+* every id collision is CROSS-crawl (ids are unique within a crawl), so
+  first-arrival-wins resolves identically no matter how rows interleave
+  inside a micro-batch;
+* the work dir is wiped per run: the checkpoint and the stateful dedup's
+  state start empty, so a re-run emits the same rows.
+
+Under those three conditions the streaming result equals batch first-win
+dedup — which is exactly the oracle the driver checks it against.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .stateful import dedup_ids_stateful
+
+_TWIN_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+        StructField("crawl", LongType()),
+    ]
+)
+
+
+def stream_dedup_to_table(
+    spark: SparkSession,
+    landing: str,
+    schema: StructType,
+    sink: str,
+    checkpoint: str,
+    id_col: str,
+    n_shards: int = 16,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Drain ``landing`` through the stateful global dedup into ``sink``.
+
+    ``maxFilesPerTrigger=1`` makes each landed file its own micro-batch, so
+    cross-file arrival order follows file modification time — the knob the
+    twin uses to pin crawl order. ``availableNow`` drains the backlog and
+    stops (the same batch↔streaming bridge ``run_ingest`` uses), and the
+    returned frame is a plain batch read of the committed sink.
+    """
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        dedup_ids_stateful(stream, id_col=id_col, n_shards=n_shards)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return spark.read.parquet(sink)
+
+
+def dedup_documents_two_crawls(
+    spark: SparkSession, sf_dir: str, work_dir: str | None = None
+) -> DataFrame:
+    """Streaming dedup's oracle-backed twin over the driver corpus.
+
+    Synthesizes two deterministic "crawls" of the ``documents`` table —
+    crawl 0 is the table verbatim; crawl 1 re-offers every doc_id with
+    perturbed values (``re:``-prefixed source, n_chars+1) — lands them as
+    parquet files whose mtimes force crawl-0-first arrival, and streams
+    them through ``dedup_ids_stateful``. First arrival wins globally, so
+    the emitted table must be exactly crawl 0: ``SELECT doc_id, lang,
+    source, n_chars, 0 AS crawl FROM documents``. The perturbed values
+    make a wrong survivor hash-visible, not just count-visible.
+
+    Scale shape: the landing write is a Spark job (coalesced to one file
+    per crawl only to keep the two-batch layout obvious; multi-file crawls
+    work identically since ids are unique within a crawl), the dedup is
+    the sharded stateful operator, and nothing funnels through the driver.
+    """
+    if work_dir is None:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        work_dir = f"/tmp/spark_graft_stream_twin_{tag}"
+    # fresh state + checkpoint per run — determinism condition 3
+    shutil.rmtree(work_dir, ignore_errors=True)
+    landing = os.path.join(work_dir, "landing")
+    os.makedirs(landing)
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .where(F.col("doc_id").isNotNull())
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    crawls = [
+        docs.withColumn("crawl", F.lit(0).cast("long")),
+        (
+            docs.withColumn("crawl", F.lit(1).cast("long"))
+            .withColumn("source", F.concat(F.lit("re:"), F.col("source")))
+            .withColumn("n_chars", F.col("n_chars") + F.lit(1))
+        ),
+    ]
+    now = time.time()
+    for i, df in enumerate(crawls):
+        stage = os.path.join(work_dir, f"stage{i}")
+        df.select([f.name for f in _TWIN_SCHEMA.fields]).coalesce(1).write.parquet(
+            stage
+        )
+        parts = sorted(
+            p for p in os.listdir(stage) if p.endswith(".parquet")
+        )
+        for j, p in enumerate(parts):
+            dst = os.path.join(landing, f"crawl{i}-{j:04d}.parquet")
+            shutil.move(os.path.join(stage, p), dst)
+            # distinct mtimes = deterministic file-source order (oldest
+            # first): all of crawl 0 strictly before any of crawl 1
+            mtime = now - 600 + i * 300 + j
+            os.utime(dst, (mtime, mtime))
+
+    return stream_dedup_to_table(
+        spark,
+        landing,
+        _TWIN_SCHEMA,
+        sink=os.path.join(work_dir, "sink"),
+        checkpoint=os.path.join(work_dir, "ckpt"),
+        id_col="doc_id",
+    ).select("doc_id", "lang", "source", "n_chars", "crawl")
