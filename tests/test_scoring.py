@@ -165,6 +165,45 @@ def test_fit_calibration_distributed_parallelism_invariant(spark):
     assert w1 == w2
 
 
+def test_fit_calibration_distributed_early_stop(spark, fixtures_dir):
+    """Early stop (tol) ends the Newton loop once |Δw| < tol with weights
+    identical to the fixed-count run on the gate corpus, in strictly fewer
+    Spark jobs — and the stop decision itself is parallelism-invariant
+    (driver-side function of the bit-identical decimal aggregates)."""
+    offers = extract_offers(
+        spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+    ).where("id is not null")
+    labeled = spark.read.parquet(f"{fixtures_dir}/labeled_pairs_gs.parquet")
+    pairs = labeled.select(
+        F.col("id_left").alias("id_l"), F.col("id_right").alias("id_r"), "label"
+    )
+    # freeze the gate-corpus feature table so both fits see identical rows
+    feats = (
+        S.score_candidates(pairs, offers, broadcast_offers=True)
+        .select(*S.FEATURES, "label")
+        .toPandas()
+    )
+    df = spark.createDataFrame(feats)
+    st_fixed, st_es = {}, {}
+    w_fixed = S.fit_calibration_distributed(
+        df, iters=25, l2=1e-2, tol=None, stats=st_fixed
+    )
+    w_es = S.fit_calibration_distributed(
+        df, iters=25, l2=1e-2, tol=1e-9, stats=st_es
+    )
+    assert st_fixed["iters"] == 25
+    assert st_es["iters"] < 25, st_es
+    for k in w_fixed:
+        assert abs(w_fixed[k] - w_es[k]) < 1e-9, (k, w_fixed[k], w_es[k])
+    # same tol at a different partitioning: same stop point, same bits
+    st2 = {}
+    w2 = S.fit_calibration_distributed(
+        df.repartition(13), iters=25, l2=1e-2, tol=1e-9, stats=st2
+    )
+    assert st2 == st_es
+    assert w2 == w_es
+
+
 def test_fit_calibration_deterministic():
     rng = np.random.RandomState(7)
     X = pd.DataFrame(
