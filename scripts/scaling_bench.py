@@ -67,6 +67,10 @@ def main() -> None:
         summary["cluster_stage_scaling_efficiency"] = round(
             (r_lo["cluster_sec"] / r_hi["cluster_sec"]) / ratio, 3
         )
+    if "encoder_stage_sec" in r_lo and "encoder_stage_sec" in r_hi:
+        summary["encoder_stage_scaling_efficiency"] = round(
+            (r_lo["encoder_stage_sec"] / r_hi["encoder_stage_sec"]) / ratio, 3
+        )
     print(json.dumps(summary, indent=2))
 
 

@@ -109,6 +109,49 @@ def main() -> None:
         .save()
     )
 
+    # encoder-scorer STAGE (pair-encode → frozen encoder → sigmoid, the
+    # reference's actual decision-stack shape): timed over pre-hydrated
+    # cached pair texts; the corpus vocab+IDF build is one-time setup like
+    # the text index above. Gives the encoder path its own scaling row.
+    from productbert_intermediate_spark.functions.text import token_prefix
+    from productbert_intermediate_spark.operators import bert_scoring as BS
+    from productbert_intermediate_spark.operators.scoring import (
+        blocking_text,
+        hydrate_pairs,
+    )
+
+    title = F.coalesce(F.col("title"), F.lit(""))
+    desc5 = token_prefix(F.coalesce(F.col("description"), F.lit("")), 5)
+    corpus = offers.select(F.lower(F.concat_ws(" ", title, desc5)).alias("text"))
+    enc_vocab, enc_idf = BS.build_vocab_and_idf_from_corpus(corpus, min_df=2)
+    texts = (
+        hydrate_pairs(
+            pairs, offers, broadcast_offers=True, attrs=("title", "description")
+        )
+        .select(
+            "id_l",
+            "id_r",
+            blocking_text("left").alias("_b_l"),
+            blocking_text("right").alias("_b_r"),
+        )
+        # pin source parallelism like build_pair_features_narrow: the cached
+        # candidate table arrives AQE-coalesced, which would serialize the
+        # Python encoder stage
+        .repartition(max(cores * 2, 16), "id_l", "id_r")
+    )
+    texts.cache()
+    texts.count()
+    enc_min, enc_med = measure(
+        lambda: BS.score_pairs_with_encoder(
+            texts, "_b_l", "_b_r", enc_vocab,
+            max_length=64, wordpiece=True, token_weights=enc_idf,
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    texts.unpersist()
+
     scored = run_score()
     scored.cache()
     scored.count()
@@ -140,6 +183,11 @@ def main() -> None:
         "stage_sec_median": round(stage_med, 3),
         "features_sec": round(feat_min, 3),
         "features_sec_median": round(feat_med, 3),
+        "encoder_stage_sec": round(enc_min, 3),
+        "encoder_stage_sec_median": round(enc_med, 3),
+        "encoder_stage_pairs_per_sec": (
+            round(n_pairs / enc_min, 1) if enc_min else 0
+        ),
         "cluster_sec": round(cluster_sec, 3),
         "shuffle_partitions": max(cores * shuffle_mult, 16),
         "arrow_batch": int(arrow_batch) if arrow_batch else 10000,
