@@ -104,10 +104,31 @@ class StageCatalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
         wall = time.time() - start
+        entry = self._lineage_entry(name, wall, params_key)
+        # extra_after: zero-arg callable evaluated AFTER the data commit but
+        # before the manifest append — the hook for metrics that only exist
+        # once the write job has run (e.g. observe()-harvested counters).
+        # Keys never override the lineage fields above.
+        if extra_after is not None:
+            entry = {**(extra_after() or {}), **entry}
+        # commit order: data (_SUCCESS) → _PARAMS token → manifest append.
+        # A crash between any two leaves exists() False for every key (the
+        # token and manifest must BOTH match), so a later run rebuilds
+        # instead of resuming from mismatched data.
+        with open(self._params_token_path(name), "w") as f:
+            json.dump({"params_key": params_key}, f)
+        with open(self.manifest_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        return entry
 
+    def _lineage_entry(
+        self, name: str, wall: float, params_key: str | None
+    ) -> dict:
+        """Per-file row counts + order-insensitive checksums for a just-
+        committed stage directory — the manifest's lineage record."""
         import re as _re
 
-        written = self.spark.read.parquet(target)
+        written = self.spark.read.parquet(self.path(name))
         # lineage key = path RELATIVE to the table root (partition dirs
         # kept): partitioned writes give files in different partition
         # directories identical basenames (same task + job UUID), so a
@@ -127,7 +148,7 @@ class StageCatalog:
         checksum = 0
         for r in per_file:
             checksum ^= int(r["checksum"] or 0)
-        entry = {
+        return {
             "stage": name,
             "params_key": params_key,
             "rows": rows,
@@ -144,25 +165,111 @@ class StageCatalog:
             "wall_sec": round(wall, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
         }
-        # extra_after: zero-arg callable evaluated AFTER the data commit but
-        # before the manifest append — the hook for metrics that only exist
-        # once the write job has run (e.g. observe()-harvested counters).
-        # Keys never override the lineage fields above.
-        if extra_after is not None:
-            entry = {**(extra_after() or {}), **entry}
-        # commit order: data (_SUCCESS) → _PARAMS token → manifest append.
-        # A crash between any two leaves exists() False for every key (the
-        # token and manifest must BOTH match), so a later run rebuilds
-        # instead of resuming from mismatched data.
+
+    def read(self, name: str) -> DataFrame:
+        """Iceberg equivalent: spark.read.format('iceberg').load(...)."""
+        return self.spark.read.parquet(self.path(name))
+
+    # ------------------------------------------------------- bucketed tables
+
+    def _table_name(self, name: str) -> str:
+        import re as _re
+
+        return "stage_" + _re.sub(r"[^A-Za-z0-9_]", "_", name)
+
+    def write_bucketed(
+        self,
+        name: str,
+        df: DataFrame,
+        bucket_cols: list[str],
+        n_buckets: int,
+        sort_cols: list[str] | None = None,
+        params_key: str | None = None,
+    ) -> dict:
+        """Checkpoint a stage table hash-bucketed on ``bucket_cols``.
+
+        Why this exists: the 100 TB pipeline re-reads the offers checkpoint
+        in every downstream stage and joins it on ``id`` (hydration ×2,
+        clustering, training-set builds). A plain parquet checkpoint makes
+        EVERY such join shuffle the full offers table again; a bucketed
+        checkpoint is already hash-partitioned on the join key at rest, so
+        Spark plans the bucketed side with NO exchange — the dominant
+        repeated shuffle of the pipeline becomes a one-time write cost
+        (demonstrated by a plan-shape test: the bucketed side of an id join
+        has zero Exchange operators above its scan).
+
+        Mechanics: bucket metadata lives in the SESSION catalog
+        (``saveAsTable`` with an explicit ``path`` under the catalog root —
+        an external table, so the data stays with the other checkpoints).
+        Parquet files themselves do not carry bucketing metadata, so a NEW
+        session must call ``read_bucketed`` (which re-registers the table
+        from the manifest entry) before the no-shuffle property returns;
+        plain ``read()`` still works and simply degrades to a normal scan.
+        On a real cluster an Iceberg/HMS catalog persists the bucket spec —
+        this is the documented swap point, same as write()/read().
+
+        Iceberg equivalent: ``df.writeTo(t).partitionedBy(bucket(N, col))``.
+        """
+        import shutil
+
+        target = self.path(name)
+        tbl = self._table_name(name)
+        start = time.time()
+        # external table: DROP leaves data files — clear both so a rewrite
+        # can't mix old bucket files into the new layout
+        self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(target, ignore_errors=True)
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", target)
+            .bucketBy(n_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(tbl)
+        wall = time.time() - start
+        entry = self._lineage_entry(name, wall, params_key)
+        entry["bucket_cols"] = list(bucket_cols)
+        entry["n_buckets"] = int(n_buckets)
+        entry["sort_cols"] = list(sort_cols or [])
+        entry["table"] = tbl
         with open(self._params_token_path(name), "w") as f:
             json.dump({"params_key": params_key}, f)
         with open(self.manifest_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
         return entry
 
-    def read(self, name: str) -> DataFrame:
-        """Iceberg equivalent: spark.read.format('iceberg').load(...)."""
-        return self.spark.read.parquet(self.path(name))
+    def read_bucketed(self, name: str) -> DataFrame:
+        """Read a bucketed stage table WITH its bucket metadata.
+
+        If the table is registered in this session's catalog, read it
+        directly; otherwise re-register it from the manifest's recorded
+        bucket spec (fresh session resuming from checkpoints) so joins on
+        the bucket columns keep the no-shuffle plan.
+        """
+        tbl = self._table_name(name)
+        if not self.spark.catalog.tableExists(tbl):
+            entry = self.latest_entry(name)
+            if entry is None or "bucket_cols" not in entry:
+                raise ValueError(f"no bucketed checkpoint recorded for {name!r}")
+            df = self.spark.read.parquet(self.path(name))
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            bucket_sql = ", ".join(f"`{c}`" for c in entry["bucket_cols"])
+            sorted_sql = (
+                "SORTED BY (" + ", ".join(f"`{c}`" for c in entry["sort_cols"]) + ")"
+                if entry.get("sort_cols")
+                else ""
+            )
+            self.spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                f"CLUSTERED BY ({bucket_sql}) {sorted_sql} "
+                f"INTO {entry['n_buckets']} BUCKETS "
+                f"LOCATION '{self.path(name)}'"
+            )
+        return self.spark.table(tbl)
 
     # ------------------------------------------------------------ CSV reports
 

@@ -124,9 +124,16 @@ def main() -> None:
     desc5 = token_prefix(F.coalesce(F.col("description"), F.lit("")), 5)
     corpus = offers.select(F.lower(F.concat_ws(" ", title, desc5)).alias("text"))
     enc_vocab, enc_idf = BS.build_vocab_and_idf_from_corpus(corpus, min_df=2)
+    # The encoder runs a Python WordPiece encode per pair — ~7x the feature
+    # scorer's per-pair cost — so timing all candidate pairs at the low leg
+    # would take an hour per level. A deterministic ~25% hash sample (same
+    # subset at every parallelism: xxhash64 of the pair ids, independent of
+    # partitioning) keeps each pass minutes long; throughput is normalized
+    # by the subset's own pair count so the efficiency ratio is exact.
+    enc_pairs = pairs.where(F.xxhash64("id_l", "id_r") % 4 == 0)
     texts = (
         hydrate_pairs(
-            pairs, offers, broadcast_offers=True, attrs=("title", "description")
+            enc_pairs, offers, broadcast_offers=True, attrs=("title", "description")
         )
         .select(
             "id_l",
@@ -140,7 +147,7 @@ def main() -> None:
         .repartition(max(cores * 2, 16), "id_l", "id_r")
     )
     texts.cache()
-    texts.count()
+    n_enc_pairs = texts.count()
     enc_min, enc_med = measure(
         lambda: BS.score_pairs_with_encoder(
             texts, "_b_l", "_b_r", enc_vocab,
@@ -148,7 +155,8 @@ def main() -> None:
         )
         .write.format("noop")
         .mode("overwrite")
-        .save()
+        .save(),
+        n=3,
     )
     texts.unpersist()
 
@@ -185,8 +193,9 @@ def main() -> None:
         "features_sec_median": round(feat_med, 3),
         "encoder_stage_sec": round(enc_min, 3),
         "encoder_stage_sec_median": round(enc_med, 3),
+        "encoder_stage_n_pairs": n_enc_pairs,
         "encoder_stage_pairs_per_sec": (
-            round(n_pairs / enc_min, 1) if enc_min else 0
+            round(n_enc_pairs / enc_min, 1) if enc_min else 0
         ),
         "cluster_sec": round(cluster_sec, 3),
         "shuffle_partitions": max(cores * shuffle_mult, 16),

@@ -4,6 +4,7 @@ import json
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from productbert_intermediate_spark.plans.pipeline import run_pipeline
 from productbert_intermediate_spark.sources.catalog import StageCatalog
@@ -189,6 +190,73 @@ def test_partitioned_write_manifest_has_distinct_file_lineage(spark, tmp_path_fa
     assert len(files) == len(set(files))
     assert all("part=" in f for f in files), files
     assert sum(p["rows"] for p in entry["partitions"]) == 100
+
+
+def test_bucketed_checkpoint_join_avoids_offers_shuffle(spark, tmp_path_factory):
+    """A bucketed offers checkpoint must join on its bucket key with NO
+    exchange on the bucketed side — the whole point of paying the bucketed
+    write: at 100 TB every downstream id-join re-shuffles a plain parquet
+    offers table, but reads a bucketed one in place."""
+    cat = StageCatalog(spark, str(tmp_path_factory.mktemp("cat_bkt")))
+    offers = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 7).alias("feat")
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 1000, 3)], "id_l long, id_r long"
+    )
+    entry = cat.write_bucketed(
+        "offers_b", offers, bucket_cols=["id"], n_buckets=8, params_key="k"
+    )
+    assert entry["rows"] == 2000 and entry["n_buckets"] == 8
+
+    bucketed = cat.read_bucketed("offers_b")
+    assert bucketed.count() == 2000
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = pairs.join(bucketed, pairs.id_l == bucketed.id)
+        joined.count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the bucketed scan is visible and exchange-free: only the pairs
+        # side shuffles, so the join plan has exactly one Exchange
+        assert "Bucketed: true" in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # baseline sanity: the SAME join against the plain parquet files
+        # shuffles BOTH sides
+        plain = spark.read.parquet(cat.path("offers_b"))
+        base = pairs.join(plain, pairs.id_l == plain.id)
+        base.count()
+        base_plan = base._jdf.queryExecution().executedPlan().toString()
+        assert base_plan.count("Exchange hashpartitioning") == 2, base_plan
+    finally:
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_checkpoint_reregisters_in_fresh_session(spark, tmp_path_factory):
+    """Parquet files carry no bucket metadata; after the session catalog
+    forgets the table (fresh session resuming from checkpoints),
+    read_bucketed must re-register it from the manifest's bucket spec and
+    return the same rows with bucketing intact."""
+    cat = StageCatalog(spark, str(tmp_path_factory.mktemp("cat_bkt2")))
+    df = spark.range(0, 500).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    cat.write_bucketed("t2", df, bucket_cols=["id"], n_buckets=4)
+    tbl = cat._table_name("t2")
+    # simulate the fresh session: drop the catalog entry (external table —
+    # data files survive), then read through the manifest path
+    spark.sql(f"DROP TABLE {tbl}")
+    assert not spark.catalog.tableExists(tbl)
+    back = cat.read_bucketed("t2")
+    assert back.count() == 500
+    assert spark.catalog.tableExists(tbl)
+    assert sorted(r["v"] for r in back.where("id < 3").collect()) == [0, 2, 4]
+    # bucketing metadata really came back: bucketed scan, no exchange on a
+    # self-aggregation keyed by the bucket column
+    agg = back.groupBy("id").count()
+    agg.count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
 
 
 def test_stale_params_token_blocks_resume(spark, tmp_path_factory):
