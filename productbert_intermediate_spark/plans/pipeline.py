@@ -45,6 +45,7 @@ def run_pipeline(
     training_amount: int = 15,
     scorer: str = "logistic",
     force: bool = False,
+    offers_buckets: int | None = 0,
 ) -> dict:
     """Execute (or resume) the full pipeline; returns a run report dict.
 
@@ -77,6 +78,20 @@ def run_pipeline(
     report: dict = {"stages": {}}
 
     k_offers = _params_key(src=pages_path)
+    # The offers checkpoint is re-joined on `id` by every downstream stage
+    # (pair hydration ×2, entity assignment, training-set builds), so it is
+    # checkpointed BUCKETED on id: one up-front shuffle at write time buys a
+    # shuffle-free offers side in each of those joins — the dominant
+    # repeated exchange of the pipeline at 100 TB. `offers_buckets=0`
+    # (default) sizes the bucket count to the session's shuffle
+    # parallelism; None disables bucketing (plain parquet checkpoint);
+    # write_or_resume rebuilds if an existing checkpoint's layout differs.
+    bucket_spec = None
+    if offers_buckets is not None:
+        n_buckets = offers_buckets or int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        bucket_spec = (["id"], n_buckets)
     # schema-pinned scan (sources.readers.PAGES_SCHEMA): inferred schemas
     # drift between files at web scale; a bad pages directory should fail
     # at the declared scan boundary, not inside the extraction UDF
@@ -87,6 +102,8 @@ def run_pipeline(
         ),
         params_key=k_offers,
         force=force,
+        bucket_by=bucket_spec,
+        sort_cols=["id"] if bucket_spec else None,
     )
     report["stages"]["offers"] = {"resumed": resumed}
 

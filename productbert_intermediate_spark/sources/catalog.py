@@ -173,9 +173,19 @@ class StageCatalog:
     # ------------------------------------------------------- bucketed tables
 
     def _table_name(self, name: str) -> str:
+        import hashlib
         import re as _re
 
-        return "stage_" + _re.sub(r"[^A-Za-z0-9_]", "_", name)
+        # table names are SESSION-global but catalogs are per-workdir: two
+        # StageCatalogs in one session (e.g. two pipeline runs in tests, or
+        # a backfill next to production) must not clobber each other's
+        # bucket registration — suffix a digest of the catalog root
+        root_tag = hashlib.sha256(
+            os.path.abspath(self.root).encode()
+        ).hexdigest()[:10]
+        return (
+            "stage_" + _re.sub(r"[^A-Za-z0-9_]", "_", name) + "_" + root_tag
+        )
 
     def write_bucketed(
         self,
@@ -185,6 +195,7 @@ class StageCatalog:
         n_buckets: int,
         sort_cols: list[str] | None = None,
         params_key: str | None = None,
+        extra_after=None,
     ) -> dict:
         """Checkpoint a stage table hash-bucketed on ``bucket_cols``.
 
@@ -219,8 +230,14 @@ class StageCatalog:
         # can't mix old bucket files into the new layout
         self.spark.sql(f"DROP TABLE IF EXISTS {tbl}")
         shutil.rmtree(target, ignore_errors=True)
+        # repartition onto the bucket key first: without it every write task
+        # hash-splits its rows locally and emits up to n_buckets files each
+        # (tasks × buckets small files at scale); with it the write is one
+        # file per bucket. This is the checkpoint's ONE up-front shuffle —
+        # the price that buys shuffle-free downstream joins on the key.
         writer = (
-            df.write.mode("overwrite")
+            df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+            .write.mode("overwrite")
             .format("parquet")
             .option("path", target)
             .bucketBy(n_buckets, *bucket_cols)
@@ -230,6 +247,8 @@ class StageCatalog:
         writer.saveAsTable(tbl)
         wall = time.time() - start
         entry = self._lineage_entry(name, wall, params_key)
+        if extra_after is not None:
+            entry = {**(extra_after() or {}), **entry}
         entry["bucket_cols"] = list(bucket_cols)
         entry["n_buckets"] = int(n_buckets)
         entry["sort_cols"] = list(sort_cols or [])
@@ -300,15 +319,46 @@ class StageCatalog:
         force: bool = False,
         partition_by: list[str] | None = None,
         extra_after=None,
+        bucket_by: tuple[list[str], int] | None = None,
+        sort_cols: list[str] | None = None,
     ) -> tuple[DataFrame, bool]:
         """Return (stage DataFrame, resumed_from_checkpoint).
 
         ``build`` is a zero-arg callable producing the stage DataFrame; it is
         only invoked when the checkpoint is missing/stale/forced (so is
         ``extra_after`` — a resumed stage appends no manifest entry).
+
+        ``bucket_by=(cols, n)`` checkpoints through ``write_bucketed`` and
+        resumes through ``read_bucketed`` so the bucket metadata (and the
+        shuffle-free join property it buys) survives a resume. A checkpoint
+        whose on-disk layout doesn't match the requested spec — plain where
+        bucketed was asked, or a different (cols, n) — is treated as STALE
+        and rebuilt: silently resuming it would keep correctness but drop
+        the no-shuffle plan every downstream join was sized around.
         """
         if not force and self.exists(name, params_key):
-            return self.read(name), True
+            entry = self.latest_entry(name) or {}
+            have = (
+                (entry.get("bucket_cols"), entry.get("n_buckets"))
+                if "bucket_cols" in entry
+                else None
+            )
+            want = (list(bucket_by[0]), int(bucket_by[1])) if bucket_by else None
+            if have == want:
+                if bucket_by:
+                    return self.read_bucketed(name), True
+                return self.read(name), True
+        if bucket_by:
+            self.write_bucketed(
+                name,
+                build(),
+                bucket_cols=bucket_by[0],
+                n_buckets=bucket_by[1],
+                sort_cols=sort_cols,
+                params_key=params_key,
+                extra_after=extra_after,
+            )
+            return self.read_bucketed(name), False
         self.write(
             name, build(), params_key=params_key, partition_by=partition_by,
             extra_after=extra_after,

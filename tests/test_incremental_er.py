@@ -1,0 +1,193 @@
+"""Incremental ER ≡ batch ER: the streaming foreachBatch pipeline over a
+multi-file landing directory must land exactly the edge set and entity
+table a from-scratch batch run produces on the same corpus — including
+under threshold drift (the score cache may hold more, the VALID edge set
+may not) — and a catch-up rerun after new files land must resume, not
+redo."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from productbert_intermediate_spark.operators import blocking as B
+from productbert_intermediate_spark.operators import scoring as S
+from productbert_intermediate_spark.operators.clustering import assign_entities
+from productbert_intermediate_spark.operators.extract import extract_offers
+from productbert_intermediate_spark.sources.readers import read_pages
+from productbert_intermediate_spark.streaming.incremental_er import (
+    EDGE_COLS,
+    resolve_batch_increment,
+    run_incremental_er,
+)
+
+
+def _land(spark, pages_parquet, landing, n_files, start_idx=0):
+    """Split a pages table into n single-file parquet drops with strictly
+    increasing mtimes (deterministic file-source arrival order)."""
+    import time
+
+    pages = spark.read.parquet(pages_parquet)
+    os.makedirs(landing, exist_ok=True)
+    now = time.time()
+    for i in range(n_files):
+        part = pages.where(
+            F.pmod(F.xxhash64("url"), F.lit(n_files)) == i
+        ).coalesce(1)
+        stage = f"{landing}_stage{start_idx + i}"
+        part.write.mode("overwrite").parquet(stage)
+        src = next(
+            p for p in sorted(os.listdir(stage)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(landing, f"drop-{start_idx + i:04d}.parquet")
+        shutil.move(os.path.join(stage, src), dst)
+        mtime = now - 600 + (start_idx + i) * 10
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(stage)
+    return landing
+
+
+@pytest.fixture(scope="module")
+def incr_run(spark, e2e_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("incr_er"))
+    landing = _land(spark, f"{e2e_dir}/pages.parquet", f"{root}/landing", 3)
+    workdir = f"{root}/work"
+    report = run_incremental_er(spark, landing, workdir)
+    return landing, workdir, report
+
+
+def _batch_reference(spark, landing):
+    offers = extract_offers(read_pages(spark, landing)).where(
+        F.col("id").isNotNull()
+    )
+    cands = B.block_offers(offers)
+    scored = S.score_candidates(cands, offers).select(*EDGE_COLS)
+    entities = assign_entities(offers, scored.where("match"))
+    return offers, scored, entities
+
+
+def test_incremental_processes_multiple_batches(incr_run):
+    _, _, report = incr_run
+    assert report["micro_batches"] == 3, report
+    assert report["offers"] > 0 and report["entities"] > 0
+    # nothing scored twice: the cache holds at most one row per pair
+    assert report["scored_pairs_cached"] >= report["valid_pairs"]
+
+
+def test_incremental_edges_equal_batch_run(spark, incr_run):
+    """The VALID edge table — scored strictly incrementally, each pair
+    exactly once in whichever batch surfaced it — equals the edge set
+    (WITH scores: per-pair scoring is corpus-independent) of a batch run."""
+    landing, workdir, _ = incr_run
+    _, batch_scored, _ = _batch_reference(spark, landing)
+    incr = spark.read.parquet(f"{workdir}/match_edges")
+    a = sorted(map(tuple, incr.select(*EDGE_COLS).collect()))
+    b = sorted(map(tuple, batch_scored.collect()))
+    assert len(a) == len(b)
+    assert a == b
+    # and the cache never scored one pair twice
+    cache = spark.read.parquet(f"{workdir}/score_cache")
+    assert (
+        cache.count() == cache.select("id_l", "id_r").distinct().count()
+    )
+
+
+def test_incremental_entities_equal_batch_run(spark, incr_run):
+    landing, workdir, _ = incr_run
+    *_, batch_entities = _batch_reference(spark, landing)
+    incr = spark.read.parquet(f"{workdir}/entities")
+    assert sorted(map(tuple, incr.collect())) == sorted(
+        map(tuple, batch_entities.collect())
+    )
+
+
+def test_catchup_rerun_is_incremental_and_converges(spark, incr_run):
+    """A 4th file lands; rerunning the SAME workdir processes only the new
+    file (file-source checkpoint), scores nothing twice (cache anti-join),
+    and the final tables equal the first run's (the 4th drop only
+    re-offers already-seen pages)."""
+    landing, workdir, first = incr_run
+    pages_dir = os.path.dirname(landing)
+    e2e_pages = spark.read.parquet(landing)  # all pages seen so far
+    extra = e2e_pages.where(F.pmod(F.xxhash64("url"), F.lit(7)) == 0)
+    stage = f"{pages_dir}/stage_extra"
+    extra.coalesce(1).write.mode("overwrite").parquet(stage)
+    src = next(p for p in sorted(os.listdir(stage)) if p.endswith(".parquet"))
+    dst = os.path.join(landing, "drop-9999.parquet")
+    shutil.move(os.path.join(stage, src), dst)
+
+    before_cache = spark.read.parquet(f"{workdir}/score_cache").count()
+    report = run_incremental_er(spark, landing, workdir)
+    # only the one new file was processed
+    assert report["micro_batches"] == 1, report
+    # every page in the 4th drop re-offers a seen id → no new offers, no
+    # new pairs scored, identical tables
+    assert report["offers"] == first["offers"]
+    assert report["scored_pairs_cached"] == before_cache
+    assert report["valid_pairs"] == first["valid_pairs"]
+    assert report["entities"] == first["entities"]
+
+
+def test_threshold_drift_retracts_stale_edges(spark, tmp_path_factory):
+    """The exactness mechanism under drift: a pair scored when its block
+    was small must LEAVE match_edges (though not the score cache) once
+    corpus growth pushes that blocking key past max_block_size — because a
+    from-scratch batch run on the grown corpus would never surface it."""
+    root = str(tmp_path_factory.mktemp("incr_drift"))
+    dirs = [f"{root}/{d}" for d in ("offers", "cache", "edges", "entities")]
+    bp = {"max_block_size": 3, "use_lsh": False, "min_df": 2}
+    schema = (
+        "id long, cluster_id long, category string, title string,"
+        " description string, brand string, price string,"
+        " specTableContent string"
+    )
+
+    def offer(i, title):
+        return (i, None, "cat", title, None, None, None, None)
+
+    # batch 1: two offers share the rare token "zephyr" (df 2, within both
+    # the min_df=2 floor and the 0.8·N=2.4 ceiling thanks to the filler) →
+    # block of 2 → pair (1,2) scored and valid
+    b1 = spark.createDataFrame(
+        [
+            offer(1, "zephyr alpha one"),
+            offer(2, "zephyr beta two"),
+            offer(10, "quartz filler ten"),
+        ],
+        schema,
+    )
+    resolve_batch_increment(spark, b1, *dirs, blocking_params=bp)
+    edges1 = spark.read.parquet(dirs[2])
+    assert edges1.where("id_l = 1 and id_r = 2").count() == 1
+
+    # batch 2: three more "zephyr" offers push its df to 5 — past the
+    # rare-df block bound (= max_block_size 3; skew control IS the key
+    # definition) — so the key stops existing; (1,2) must leave the valid
+    # edge set while its cached score remains. Fillers keep 0.8·N above
+    # df so the retraction is the block bound, not stop-word pruning.
+    b2 = spark.createDataFrame(
+        [
+            offer(3, "zephyr gamma three"),
+            offer(4, "zephyr delta four"),
+            offer(5, "zephyr epsilon five"),
+            offer(11, "garnet filler eleven"),
+            offer(12, "topaz filler twelve"),
+            offer(13, "beryl filler thirteen"),
+            offer(14, "agate filler fourteen"),
+        ],
+        schema,
+    )
+    resolve_batch_increment(spark, b2, *dirs, blocking_params=bp)
+    edges2 = spark.read.parquet(dirs[2])
+    assert edges2.where("id_l = 1 and id_r = 2").count() == 0
+    cache = spark.read.parquet(dirs[1])
+    assert cache.where("id_l = 1 and id_r = 2").count() == 1
+    # and it matches the from-scratch run on the grown corpus exactly
+    offers_all = spark.read.parquet(dirs[0])
+    batch_scored = S.score_candidates(
+        B.block_offers(offers_all, **bp), offers_all
+    ).select(*EDGE_COLS)
+    assert sorted(map(tuple, edges2.select(*EDGE_COLS).collect())) == sorted(
+        map(tuple, batch_scored.collect())
+    )

@@ -259,6 +259,59 @@ def test_bucketed_checkpoint_reregisters_in_fresh_session(spark, tmp_path_factor
     assert "Exchange hashpartitioning" not in plan, plan
 
 
+def test_pipeline_offers_checkpoint_is_bucketed(e2e_run, spark):
+    """run_pipeline's offers checkpoint lands bucketed on id by default
+    (one up-front shuffle buys a shuffle-free offers side in every
+    downstream id-join), and a resume read keeps the bucket metadata."""
+    workdir, _ = e2e_run
+    cat = StageCatalog(spark, workdir)
+    entry = cat.latest_entry("offers")
+    assert entry["bucket_cols"] == ["id"]
+    assert entry["n_buckets"] >= 1
+    assert entry["sort_cols"] == ["id"]
+    offers = cat.read_bucketed("offers")
+    agg = offers.groupBy("id").count()
+    agg.count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_layout_mismatch_rebuilds_checkpoint(spark, tmp_path_factory):
+    """A plain checkpoint resumed with a bucket spec (or a different spec)
+    is STALE: resuming it would silently drop the no-shuffle join property.
+    write_or_resume must rebuild, not resume."""
+    cat = StageCatalog(spark, str(tmp_path_factory.mktemp("cat_layout")))
+    build = lambda: spark.range(0, 100).select(  # noqa: E731
+        F.col("id"), (F.col("id") % 3).alias("v")
+    )
+    _, resumed = cat.write_or_resume("t", build, params_key="k")
+    assert not resumed
+    # same params, plain again → resume
+    _, resumed = cat.write_or_resume("t", build, params_key="k")
+    assert resumed
+    # same params, bucketed requested → layout mismatch → rebuild
+    df, resumed = cat.write_or_resume(
+        "t", build, params_key="k", bucket_by=(["id"], 4)
+    )
+    assert not resumed
+    assert df.count() == 100
+    # same bucketed spec → resume, metadata intact
+    df, resumed = cat.write_or_resume(
+        "t", build, params_key="k", bucket_by=(["id"], 4)
+    )
+    assert resumed
+    agg = df.groupBy("id").count()
+    agg.count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    # different bucket count → rebuild
+    _, resumed = cat.write_or_resume(
+        "t", build, params_key="k", bucket_by=(["id"], 8)
+    )
+    assert not resumed
+
+
 def test_stale_params_token_blocks_resume(spark, tmp_path_factory):
     """A crash between a rewrite's data commit and its manifest append must
     not let the OLD manifest entry resurrect the NEW data as a valid
