@@ -40,10 +40,11 @@ HEADLINE = [
 
 BENCH_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
 # Timed repetitions per query (min-of-N): single-shot timings on this shared
-# box swing ±35% with co-tenant load, so every figure the driver records is
-# the min over N steady-state passes — the same protocol the scaling bench
-# uses. N=2 doubles headline wall time; raise for quieter numbers.
-BENCH_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+# box swing ±35% with co-tenant load (measured r4: 4.3-7.9s over four warm
+# reps of the same query), so every figure the driver records is the min
+# over N steady-state passes — the same protocol the scaling bench uses.
+# N=3 because min-of-2 still recorded a 2x-off outlier in r3.
+BENCH_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
 def _materialize(df) -> int:

@@ -6,10 +6,13 @@ StageCatalog; a rerun resumes after the last complete stage (matching the
 reference's USE_TEMP_* caching flags, sample_intermediate_training_sets.py:
 15-17, upgraded with manifest lineage per the north rule).
 
-Run on a cluster as:
-    spark-submit --py-files productbert_intermediate_spark.zip \
-        -m productbert_intermediate_spark.plans.pipeline \
+Run on a cluster as (zip built by scripts/make_pyfiles_zip.py; the driver
+script never sets master, so submit-side flags pick the cluster):
+    spark-submit --master <cluster> \
+        --py-files dist/productbert_intermediate_spark.zip \
+        scripts/submit_pipeline.py \
         --pages <path> --workdir <path> [--labeled <path>]
+tests/test_spark_submit.py exercises exactly this invocation.
 """
 
 from __future__ import annotations
