@@ -144,6 +144,79 @@ def hydrate_pairs(
     )
 
 
+def hydrate_pairs_salted(
+    pairs: DataFrame,
+    offers: DataFrame,
+    n_salts: int = 8,
+    hot_threshold: int = 100_000,
+    prepared: bool = False,
+    attrs: tuple[str, ...] = PAIR_ATTRS,
+    prepared_cols: tuple[str, ...] = ("_btext", "_toks", "_dtoks"),
+) -> DataFrame:
+    """hydrate_pairs with differential hot-id salting (operators/skew.py).
+
+    Same output as hydrate_pairs (row-for-row, asserted in tests/test_skew
+    .py), but an id appearing in more than ``hot_threshold`` pairs — on
+    EITHER side — is spread over ``n_salts`` shuffle partitions in both
+    hydration joins instead of landing whole in one. The hot set is counted
+    once over the union of both id columns so ONE salted offers subplan
+    serves both joins; as in hydrate_pairs, the per-side renames happen
+    after the joins, so ReuseExchange materializes that subplan once.
+
+    Use on the streamed (non-broadcast) path only: a broadcast hydration
+    join has no shuffle to skew.
+    """
+    from .skew import hot_keys, salt_dim, salted_skew_join
+
+    extra = prepared_cols if prepared else ()
+    side = offers.select("id", *attrs, *extra)
+    pair_ids = pairs.select(F.col("id_l").alias("_pid")).unionByName(
+        pairs.select(F.col("id_r").alias("_pid"))
+    )
+    # Four consumers (two dim probes + two fact taggings) would each re-run
+    # the pair-id count without this cut; the hot set is bounded tiny
+    # (≤ 2·|pairs| / hot_threshold rows), so materialize it once.
+    hot = hot_keys(pair_ids, "_pid", hot_threshold).localCheckpoint(eager=True)
+    salted = salt_dim(side, "id", hot, n_salts)
+    pair_cols = pairs.columns
+    hyd = (*attrs, *extra)
+    step1 = salted_skew_join(
+        pairs.alias("_hyd_p"),
+        None,
+        "id_l",
+        dim_key="id",
+        n_salts=n_salts,
+        spread_cols=("id_r",),
+        salted_dim=salted.alias("_hyd_l"),
+        hot=hot,
+    )
+    # Rename the left side's hydrated columns NOW (fresh attribute ids, dim
+    # `id` dropped): both joins descend from the same `salted` plan, and
+    # without this the second join's dim references are ambiguous self-join
+    # attributes. The rename sits on the FACT side of join 2 — the dim-side
+    # exchange under both joins is still the identical `salted` shuffle, so
+    # ReuseExchange is unaffected.
+    left = step1.select(
+        *pair_cols,
+        *[F.col(f"_hyd_l.{a}").alias(f"{a}_left") for a in hyd],
+    )
+    step2 = salted_skew_join(
+        left,
+        None,
+        "id_r",
+        dim_key="id",
+        n_salts=n_salts,
+        spread_cols=("id_l",),
+        salted_dim=salted.alias("_hyd_r"),
+        hot=hot,
+    )
+    return step2.select(
+        *pair_cols,
+        *[f"{a}_left" for a in hyd],
+        *[F.col(f"_hyd_r.{a}").alias(f"{a}_right") for a in hyd],
+    )
+
+
 def build_sequence(side: str):
     """brand+' '+title+' '+description+' '+spec after per-attr truncation."""
     cols = []
@@ -402,6 +475,7 @@ def score_candidates(
     use_text_broadcast: bool | None = None,
     text_index_broadcast=None,
     n_offers: int | None = None,
+    salt_hot_ids: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Full scoring stage, shuffle- and Python-lean:
 
@@ -439,6 +513,7 @@ def score_candidates(
         keep_texts=not small_offers,
         broadcast_offers=broadcast_offers or small_offers,
         feature_partitions=feature_partitions,
+        salt_hot_ids=salt_hot_ids,
     )
     return apply_pair_scorer(
         narrow, text_index_broadcast if small_offers else None, weights
@@ -451,15 +526,29 @@ def build_pair_features_narrow(
     keep_texts: bool = False,
     broadcast_offers: bool = False,
     feature_partitions: int | None = None,
+    salt_hot_ids: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Candidate pairs → narrow per-pair feature table (ids, JVM features,
-    and — when keep_texts — the pair texts for the streamed scorer)."""
+    and — when keep_texts — the pair texts for the streamed scorer).
+
+    salt_hot_ids=(n_salts, hot_threshold) opts the streamed path into
+    differential hot-id salting: the source repartition spreads by pair
+    hash instead of id_l (a hot id_l would otherwise concentrate in one
+    partition by construction), and the hydration joins run through
+    hydrate_pairs_salted. Ignored on the broadcast path (no shuffle).
+    """
     spark = pairs.sparkSession
     n_parts = feature_partitions or spark.sparkContext.defaultParallelism * 2
     # pin parallelism at the SOURCE: the candidate table usually arrives
     # AQE-coalesced to few partitions, which would serialize the hydrate map
     # side and everything fused after it.
-    pairs = pairs.repartition(n_parts, "id_l")
+    salting = salt_hot_ids is not None and not broadcast_offers
+    if salting:
+        from .skew import salted_repartition_pairs
+
+        pairs = salted_repartition_pairs(pairs, n_parts)
+    else:
+        pairs = pairs.repartition(n_parts, "id_l")
     prepped = prepare_offers_for_scoring(offers)
     # hydrate ONLY what the feature projection reads: title/brand/price and
     # the precomputed token sets — description/specTableContent (the long
@@ -468,10 +557,17 @@ def build_pair_features_narrow(
     # non-scaling (driver-serial) cost of a scoring run.
     attrs = ("title", "brand", "price")
     pcols = ("_btext", "_toks", "_dtoks") if keep_texts else ("_toks", "_dtoks")
-    hydrated = hydrate_pairs(
-        pairs, prepped, broadcast_offers, prepared=True,
-        attrs=attrs, prepared_cols=pcols,
-    )
+    if salting:
+        n_salts, hot_threshold = salt_hot_ids
+        hydrated = hydrate_pairs_salted(
+            pairs, prepped, n_salts=n_salts, hot_threshold=hot_threshold,
+            prepared=True, attrs=attrs, prepared_cols=pcols,
+        )
+    else:
+        hydrated = hydrate_pairs(
+            pairs, prepped, broadcast_offers, prepared=True,
+            attrs=attrs, prepared_cols=pcols,
+        )
 
     title_l = F.lower(F.coalesce(F.col("title_left"), F.lit("")))
     title_r = F.lower(F.coalesce(F.col("title_right"), F.lit("")))

@@ -2354,6 +2354,45 @@ from documents where doc_id is not null
 
 
 # --------------------------------------------------------------------------
+# skew — differential hot-key salting (operators/skew.py). The salted join
+# must be row-for-row the plain equi-join; running it against the plain-SQL
+# oracle makes that a hash-checked identity on real data. orders.o_custkey
+# is a genuine fact-side repeated key (≈10 orders/customer at any SF);
+# hot_threshold=5 forces a large fraction of keys down the salted branch so
+# the replicate + salt-match machinery — not just the cold passthrough — is
+# what's being verified.
+
+
+def q_salted_hydration_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted orders→customer hydration (north rule: salted, skew-aware
+    repartitioned candidate materialization)."""
+    from ..operators.skew import salted_skew_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = salted_skew_join(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        cust.select("c_custkey", "c_name"),
+        fact_key="o_custkey",
+        dim_key="c_custkey",
+        n_salts=4,
+        hot_threshold=5,
+        spread_cols=("o_orderkey",),
+    )
+    return joined.select(
+        "o_orderkey",
+        "c_name",
+        F.col("o_totalprice").cast("double").alias("total_price"),
+    )
+
+
+SQL_SALTED_HYDRATION_JOIN = """
+select o_orderkey, c_name, cast(o_totalprice as double) as total_price
+from orders join customer on o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple] = {
@@ -2417,6 +2456,11 @@ REGISTRY: dict[str, tuple] = {
     # incremental (foreachBatch) ER end-to-end, held to the SAME independent
     # transitive-closure oracle as the batch tail (see the docstring)
     "er_incremental_entities": (q_er_incremental_entities, SQL_ER_ENTITIES_JVM),
+    # oracle KEPT but outside the driver window: the skew-salted join is a
+    # hash-checked identity against the plain join (its hydration semantics
+    # are already driver-covered by hydration_join); pytest's oracle suite
+    # checks it every run.
+    "salted_hydration_join": (q_salted_hydration_join, SQL_SALTED_HYDRATION_JOIN),
     # position 51: oracle KEPT but outside the driver's 50-row window — the
     # brute-force cosine scan's semantics are already driver-covered by
     # ann_topk + ann_ivf_probeall; this slot was traded for the incremental
