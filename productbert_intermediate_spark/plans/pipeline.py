@@ -49,6 +49,7 @@ def run_pipeline(
     scorer: str = "logistic",
     force: bool = False,
     offers_buckets: int | None = 0,
+    salt_hot_ids: tuple[int, int] | None = None,
 ) -> dict:
     """Execute (or resume) the full pipeline; returns a run report dict.
 
@@ -67,6 +68,18 @@ def run_pipeline(
     Both emit (id_l, id_r, …, logit, score, match); stage checkpoints are
     keyed on the scorer choice, so switching scorers invalidates
     scored_pairs and downstream but resumes offers/candidates.
+
+    ``salt_hot_ids=(n_salts, hot_threshold)`` opts the logistic scorer's
+    hydration joins into differential hot-id salting (operators/skew.py).
+    Off by default because block_offers's candidates are structurally
+    skew-bounded already: an id appears in at most (blocking keys per
+    offer) × max_block_size pairs — a few hundred with default params —
+    so no id can concentrate a shuffle partition. Turn it on when the
+    candidate table comes from OUTSIDE capped blocking (an external
+    candidate list, knn negatives, a streaming join), where one id may
+    carry millions of pairs. The salted plan is row-identical to the
+    plain one (tests/test_skew.py), so it deliberately does NOT enter the
+    stage params_key: flipping it never invalidates a checkpoint.
     """
     weights = weights or S.DEFAULT_WEIGHTS
     bp = {
@@ -149,7 +162,8 @@ def run_pipeline(
     if scorer == "logistic":
         k_scored = _params_key(parent=k_pairs, weights=weights)
         build_scored = lambda: S.score_candidates(  # noqa: E731
-            candidates, offers, weights=weights, n_offers=n_offers
+            candidates, offers, weights=weights, n_offers=n_offers,
+            salt_hot_ids=salt_hot_ids,
         ).select("id_l", "id_r", *S.FEATURES, "logit", "score", "match")
     elif scorer == "encoder":
         from ..operators.bert_scoring import score_candidates_with_encoder

@@ -2393,6 +2393,197 @@ from orders join customer on o_custkey = c_custkey
 
 
 # --------------------------------------------------------------------------
+# survivorship — entity consolidation (operators/survivorship.py). Entities
+# come from the SAME gaps-and-islands structure as connected_components, so
+# the oracle is closed-form; on top of it every survivorship rule is checked
+# value-for-value: longest-text pick, modal lang/source picks (with their
+# deterministic tie-breaks), min n_chars, member counts.
+
+
+def q_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden record per entity: longest text, modal lang/source, min
+    n_chars — the consolidation tail the reference leaves to its consumers
+    (its output stops at labeled pairs, test.py:82-93)."""
+    from ..operators.clustering import assign_entities
+    from ..operators.survivorship import golden_records
+
+    docs = _t(spark, sf_dir, "documents")
+    a, b = docs.alias("a"), docs.alias("b")
+    edges = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & F.col("b.source").eqNullSafe(F.col("a.source")),
+    ).select(F.col("a.doc_id").alias("id_l"), F.col("b.doc_id").alias("id_r"))
+    ents = assign_entities(
+        docs.select(F.col("doc_id").alias("id")), edges
+    ).select(F.col("id"), F.col("entity_id").cast("long").alias("entity_id"))
+    members = docs.select(
+        F.col("doc_id").alias("id"), "text", "lang", "source", "n_chars"
+    )
+    return golden_records(
+        members,
+        ents,
+        longest_cols=("text",),
+        modal_cols=("lang", "source"),
+        min_cols=("n_chars",),
+    )
+
+
+SQL_GOLDEN_RECORDS = """
+with r as (
+  select doc_id, text, lang, source, n_chars,
+         doc_id - row_number() over (partition by source order by doc_id) as grp
+  from documents
+), m as (
+  select cast(min(doc_id) over (partition by source, grp) as bigint) as entity_id,
+         text, lang, source, n_chars
+  from r
+), base as (
+  select entity_id, cast(count(*) as bigint) as n_members,
+         min(n_chars) as n_chars
+  from m group by entity_id
+), t_text as (
+  select entity_id, text,
+         row_number() over (partition by entity_id
+                            order by length(text) desc, text desc) as rn
+  from m where text is not null
+), t_lang as (
+  select entity_id, lang,
+         row_number() over (partition by entity_id
+                            order by cnt desc, lang asc) as rn
+  from (select entity_id, lang, count(*) as cnt
+        from m where lang is not null group by entity_id, lang)
+), t_src as (
+  select entity_id, source,
+         row_number() over (partition by entity_id
+                            order by cnt desc, source asc) as rn
+  from (select entity_id, source, count(*) as cnt
+        from m where source is not null group by entity_id, source)
+)
+select b.entity_id, b.n_members, tt.text, tl.lang, ts.source, b.n_chars
+from base b
+left join (select entity_id, text from t_text where rn = 1) tt using (entity_id)
+left join (select entity_id, lang from t_lang where rn = 1) tl using (entity_id)
+left join (select entity_id, source from t_src where rn = 1) ts using (entity_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# B-cubed cluster evaluation (operators/metrics_ops.py:bcubed_cells).
+# Predicted clusters: the same gaps-and-islands entity structure as
+# connected_components (so the full large-star/small-star + assignment
+# machinery is in the chain); truth clusters: the documents' source column.
+# The cells are exact integers — the hash check pins every cluster
+# intersection, both cluster-size joins, and the inner-join scope.
+
+
+def q_bcubed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import assign_entities
+    from ..operators.metrics_ops import bcubed_cells
+
+    docs = _t(spark, sf_dir, "documents")
+    a, b = docs.alias("a"), docs.alias("b")
+    edges = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & F.col("b.source").eqNullSafe(F.col("a.source")),
+    ).select(F.col("a.doc_id").alias("id_l"), F.col("b.doc_id").alias("id_r"))
+    pred = assign_entities(docs.select(F.col("doc_id").alias("id")), edges).select(
+        "id", F.col("entity_id").cast("long").alias("entity_id")
+    )
+    truth = docs.select(
+        F.col("doc_id").alias("id"), F.col("source").alias("truth_id")
+    ).where(F.col("truth_id").isNotNull())
+    return bcubed_cells(pred, truth)
+
+
+SQL_BCUBED_CELLS = """
+with r as (
+  select doc_id, source,
+         doc_id - row_number() over (partition by source order by doc_id) as grp
+  from documents
+), pred as (
+  select doc_id as id,
+         cast(min(doc_id) over (partition by source, grp) as bigint) as entity_id
+  from r
+), truth as (
+  select doc_id as id, source as truth_id from documents
+  where source is not null
+), j as (
+  select p.entity_id, t.truth_id from pred p join truth t on p.id = t.id
+), cells as (
+  select entity_id, truth_id, cast(count(*) as bigint) as n_cell
+  from j group by entity_id, truth_id
+), psize as (
+  select entity_id, cast(count(*) as bigint) as n_pred from j group by entity_id
+), tsize as (
+  select truth_id, cast(count(*) as bigint) as n_truth from j group by truth_id
+)
+select c.entity_id, c.truth_id, c.n_cell, p.n_pred, t.n_truth
+from cells c join psize p using (entity_id) join tsize t using (truth_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# blocking evaluation — pair completeness + reduction ratio
+# (operators/metrics_ops.py:blocking_quality). Candidates: the registry's
+# own MinHash-LSH blocker; truth: exact duplicate pairs (same normalized
+# text — the one truth derivable from the corpus itself). The oracle
+# recomputes BOTH pair sets and the two ratios with the identical IEEE
+# operation order, so the metric row hash-matches bit-for-bit.
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.metrics_ops import blocking_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), _WS + "+", " "))
+    keyed = docs.select(F.col("doc_id").alias("did"), norm.alias("k"))
+    ka, kb = keyed.alias("ka"), keyed.alias("kb")
+    truth = ka.join(
+        kb,
+        (F.col("ka.k") == F.col("kb.k")) & (F.col("ka.did") < F.col("kb.did")),
+    ).select(F.col("ka.did").alias("id_l"), F.col("kb.did").alias("id_r"))
+    cands = q_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("id_l"), F.col("doc_b").alias("id_r")
+    )
+    return blocking_quality(cands, truth, docs.count())
+
+
+def _blocking_quality_sql() -> str:
+    return f"""
+with cand0 as (
+{SQL_MINHASH_LSH_PAIRS}
+), c as (
+  select distinct least(doc_a, doc_b) as u, greatest(doc_a, doc_b) as v
+  from cand0 where doc_a <> doc_b
+), keyed as (
+  select doc_id as did, trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g')) as k
+  from documents
+), t as (
+  select distinct least(a.did, b.did) as u, greatest(a.did, b.did) as v
+  from keyed a join keyed b on a.k = b.k and a.did < b.did
+), counts as (
+  select (select count(*) from c) as n_candidates,
+         (select count(*) from t) as n_truth,
+         (select count(*) from (select * from c intersect select * from t)) as n_captured,
+         (select count(*) from documents) as nrec
+)
+select cast(n_candidates as bigint) as n_candidates,
+       cast(n_truth as bigint) as n_truth,
+       cast(n_captured as bigint) as n_captured,
+       case when n_truth > 0
+            then cast(n_captured as double) / cast(n_truth as double) end
+         as pair_completeness,
+       case when nrec * (nrec - 1) > 0
+            then 1.0 - cast(n_candidates as double)
+                       / (cast(nrec * (nrec - 1) as double) / 2.0) end
+         as reduction_ratio
+from counts
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple] = {
@@ -2443,7 +2634,11 @@ REGISTRY: dict[str, tuple] = {
     "fk_surrogate_join": (q_fk_surrogate_join, SQL_FK_SURROGATE_JOIN),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
-    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
+    # skew-salted hydration (operators/skew.py): hash-checked identity
+    # against the plain-join SQL oracle, with hot_threshold=5 forcing most
+    # keys down the replicate+salt-match branch — driver evidence for the
+    # north rule's "salted, skew-aware repartitioned" candidate stage
+    "salted_hydration_join": (q_salted_hydration_join, SQL_SALTED_HYDRATION_JOIN),
     # oracle-backed twins of the Spark-private queries below (full pipeline
     # machinery under parameters that make the semantics SQL-expressible)
     "ann_ivf_probeall": (q_ann_ivf_probeall, SQL_ANN_IVF_PROBEALL),
@@ -2456,15 +2651,16 @@ REGISTRY: dict[str, tuple] = {
     # incremental (foreachBatch) ER end-to-end, held to the SAME independent
     # transitive-closure oracle as the batch tail (see the docstring)
     "er_incremental_entities": (q_er_incremental_entities, SQL_ER_ENTITIES_JVM),
-    # oracle KEPT but outside the driver window: the skew-salted join is a
-    # hash-checked identity against the plain join (its hydration semantics
-    # are already driver-covered by hydration_join); pytest's oracle suite
-    # checks it every run.
-    "salted_hydration_join": (q_salted_hydration_join, SQL_SALTED_HYDRATION_JOIN),
-    # position 51: oracle KEPT but outside the driver's 50-row window — the
-    # brute-force cosine scan's semantics are already driver-covered by
-    # ann_topk + ann_ivf_probeall; this slot was traded for the incremental
-    # ER row above (and is still checked if the window ever widens)
+    # oracles KEPT but outside the driver's 50-row window (still checked by
+    # pytest's oracle suite every run, and by the driver if the window ever
+    # widens): entity consolidation + blocking evaluation (new round-4
+    # capability; hash-checked in pytest), then ann_topk — whose brute-force
+    # semantics are driver-covered by ann_ivf_probeall (probe-all ≡ exact
+    # over the same arithmetic) — and ann_cosine_matches, covered by both
+    "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
+    "blocking_quality": (q_blocking_quality, _blocking_quality_sql()),
+    "bcubed_cells": (q_bcubed_cells, SQL_BCUBED_CELLS),
+    "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_cosine_matches": (q_ann_cosine_matches, SQL_ANN_COSINE_MATCHES),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit
     # LAST deliberately: the driver's correctness window covers the first 50

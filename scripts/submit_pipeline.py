@@ -31,6 +31,13 @@ def main() -> None:
     p.add_argument("--workdir", required=True)
     p.add_argument("--labeled")
     p.add_argument("--scorer", choices=("logistic", "encoder"), default="logistic")
+    p.add_argument(
+        "--salt-hot-ids",
+        metavar="N_SALTS,HOT_THRESHOLD",
+        help="differential hot-id salting for the scorer's hydration joins "
+        "(use when --pages candidates bypass capped blocking; see "
+        "plans/pipeline.py docstring), e.g. 8,100000",
+    )
     p.add_argument("--force", action="store_true")
     p.add_argument("--report", help="write the run report JSON here")
     args = p.parse_args()
@@ -43,6 +50,11 @@ def main() -> None:
 
     from productbert_intermediate_spark.plans.pipeline import run_pipeline
 
+    salt = None
+    if args.salt_hot_ids:
+        n_salts, hot_threshold = (int(x) for x in args.salt_hot_ids.split(","))
+        salt = (n_salts, hot_threshold)
+
     report = run_pipeline(
         spark,
         args.pages,
@@ -50,6 +62,7 @@ def main() -> None:
         labeled_path=args.labeled,
         scorer=args.scorer,
         force=args.force,
+        salt_hot_ids=salt,
     )
     blob = json.dumps(report, indent=2, default=str)
     print(blob)

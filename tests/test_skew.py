@@ -148,3 +148,29 @@ def test_score_candidates_salted_equals_default(spark, fixtures_dir):
     assert salted.columns == base.columns
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(salted) == key(base)
+
+
+def test_pipeline_salted_identical_entities_and_resume(
+    spark, e2e_dir, tmp_path_factory
+):
+    """run_pipeline(salt_hot_ids=...) is plumbing-only: same entities as the
+    default path, and — because salting is row-identical — flipping it on an
+    existing workdir resumes every stage instead of invalidating any."""
+    from productbert_intermediate_spark.plans.pipeline import run_pipeline
+    from productbert_intermediate_spark.sources.catalog import StageCatalog
+
+    wd_plain = str(tmp_path_factory.mktemp("salted_pipe_plain"))
+    wd_salt = str(tmp_path_factory.mktemp("salted_pipe_salt"))
+    pages = f"{e2e_dir}/pages.parquet"
+    run_pipeline(spark, pages, wd_plain)
+    run_pipeline(spark, pages, wd_salt, salt_hot_ids=(4, 5))
+    e_plain = sorted(
+        map(tuple, StageCatalog(spark, wd_plain).read("entities").collect())
+    )
+    e_salt = sorted(
+        map(tuple, StageCatalog(spark, wd_salt).read("entities").collect())
+    )
+    assert e_salt == e_plain
+
+    rerun = run_pipeline(spark, pages, wd_plain, salt_hot_ids=(4, 5))
+    assert all(s["resumed"] for s in rerun["stages"].values())
