@@ -218,6 +218,19 @@ def run_pipeline(
         report["stages"]["training_pairs"] = {"resumed": resumed}
         report.setdefault("counts", {})["training_pairs"] = training.count()
 
+        # cluster-LEVEL evaluation (B-cubed): the pairwise F1 below judges
+        # edge decisions; this judges the resolved partition itself —
+        # over-merged entities show up here as precision loss even when
+        # every labeled pair is classified correctly.
+        from ..operators.metrics_ops import bcubed_metrics
+
+        report["bcubed_eval"] = bcubed_metrics(
+            entities,
+            spark.read.parquet(truth_path).select(
+                "id", F.col("cluster_id").alias("truth_id")
+            ),
+        )
+
     # stage row counts come from the checkpoint manifest (already computed
     # during each write) — no re-count jobs; only the two derived figures
     # (match edges, distinct entities) run aggregations.

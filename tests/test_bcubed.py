@@ -62,3 +62,21 @@ def test_bcubed_empty_intersection_guard(spark):
     assert got == {
         "bcubed_precision": None, "bcubed_recall": None, "bcubed_f1": None
     }
+
+
+def test_pipeline_reports_bcubed_with_truth(spark, e2e_dir, tmp_path_factory):
+    """With ground-truth clusters supplied, the run report carries B-cubed;
+    on the F1-gate corpus the resolved partition should be near-perfect."""
+    from productbert_intermediate_spark.plans.pipeline import run_pipeline
+
+    wd = str(tmp_path_factory.mktemp("bcubed_pipe"))
+    report = run_pipeline(
+        spark,
+        f"{e2e_dir}/pages.parquet",
+        wd,
+        truth_path=f"{e2e_dir}/offers_truth.parquet",
+    )
+    b = report["bcubed_eval"]
+    assert b["bcubed_precision"] >= 0.98
+    assert b["bcubed_recall"] >= 0.98
+    assert b["bcubed_f1"] >= 0.98
