@@ -35,12 +35,20 @@ from pyspark.sql.types import (
     ArrayType,
     BooleanType,
     DoubleType,
+    IntegerType,
     StringType,
     StructField,
     StructType,
 )
 
-from ..functions.bert_encode import WordPieceVocab, basic_tokenize, encode_pair_text
+from ..functions.bert_encode import (
+    WordPieceVocab,
+    basic_tokenize,
+    convert_tokens_to_ids,
+    prepare_for_model,
+    tokenize,
+    wordpiece_tokenize,
+)
 
 EncoderFn = Callable[[np.ndarray, np.ndarray, np.ndarray], np.ndarray]
 
@@ -130,6 +138,23 @@ def score_pairs_with_encoder(
         enc = encoder or make_default_frozen_encoder(
             vocab_size, token_weights=bc_weights.value
         )
+        # text→ids memo, per task: hot offers appear in MANY pairs of the
+        # same partition (more so under id_l-partitioned input), so the
+        # tokenize+WordPiece cost — the dominant per-pair Python work —
+        # runs once per distinct text, not once per pair side. Bounded:
+        # past 1M distinct texts new ones are encoded without caching
+        # (results are identical either way — this is a pure memo).
+        memo: dict[str, list[int]] = {}
+
+        def ids_of(t) -> list[int]:
+            t = t or ""
+            got = memo.get(t)
+            if got is None:
+                got = convert_tokens_to_ids(tokenize(t, v, wordpiece), v)
+                if len(memo) < 1_000_000:
+                    memo[t] = got
+            return got
+
         for pdf in batches:
             n = len(pdf)
             if n == 0:
@@ -138,7 +163,116 @@ def score_pairs_with_encoder(
             tt = np.zeros((n, max_length), dtype=np.int32)
             am = np.zeros((n, max_length), dtype=np.int32)
             for i, (a, b) in enumerate(zip(pdf[left_col], pdf[right_col])):
-                e = encode_pair_text(a, b, v, max_length, wordpiece)
+                e = prepare_for_model(ids_of(a), ids_of(b), max_length, v)
+                ids[i] = e["input_ids"]
+                tt[i] = e["token_type_ids"]
+                am[i] = e["attention_mask"]
+            logit = enc(ids, tt, am)
+            score = 1.0 / (1.0 + np.exp(-logit))
+            out = pdf.copy()
+            out["logit"] = logit
+            out["score"] = score
+            out["match"] = score > threshold
+            yield out
+
+    return pairs.mapInPandas(run, schema=out_schema)
+
+
+def make_tokenize_ids_udf(vocab_broadcast, wordpiece: bool = True):
+    """Arrow-batched text → token-id-array UDF (tokenize + WordPiece +
+    id-convert, NO truncation/padding — that's per-pair state).
+
+    Used to tokenize each OFFER once; the per-pair stage then only
+    assembles [CLS] a [SEP] b [SEP] from the precomputed ids. A word-level
+    memo (word → subword ids) carries across the whole task: product text
+    re-uses a small vocabulary heavily, so greedy WordPiece matching — the
+    expensive inner loop — runs once per distinct word per task.
+    """
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def tok_ids(s: pd.Series) -> pd.Series:  # pragma: no cover - executor
+        v = vocab_broadcast.value
+        get_id = v.tokens.get
+        unk = v.unk_id
+        word_memo: dict[str, list[int]] = {}
+
+        def word_ids(w: str) -> list[int]:
+            got = word_memo.get(w)
+            if got is None:
+                if wordpiece:
+                    got = [get_id(p, unk) for p in wordpiece_tokenize(w, v)]
+                else:
+                    got = [get_id(w, unk)]
+                if len(word_memo) < 2_000_000:
+                    word_memo[w] = got
+            return got
+
+        def text_ids(t) -> list[int]:
+            if not wordpiece:
+                # oracle mode mirrors tokenize(wordpiece=False): split on
+                # single spaces, empty tokens resolve to [UNK]
+                words = (t or "").split(" ") if t else []
+            else:
+                words = basic_tokenize(t or "")
+            out: list[int] = []
+            for w in words:
+                out.extend(word_ids(w))
+            return out
+
+        return s.map(text_ids)
+
+    return tok_ids
+
+
+def score_pretokenized_pairs(
+    pairs: DataFrame,
+    left_ids_col: str,
+    right_ids_col: str,
+    vocab: WordPieceVocab,
+    max_length: int = 128,
+    encoder: EncoderFn | None = None,
+    threshold: float = 0.5,
+    token_weights: np.ndarray | None = None,
+) -> DataFrame:
+    """score_pairs_with_encoder over PRE-tokenized id arrays: per pair only
+    truncate/assemble/pad (prepare_for_model) + the encoder forward run —
+    tokenization cost scales with |offers|, not |pairs|. Output is
+    byte-identical to the text path (asserted in tests/test_bert_scoring)."""
+    spark = pairs.sparkSession
+    bc_vocab = spark.sparkContext.broadcast(vocab)
+    bc_weights = spark.sparkContext.broadcast(token_weights)
+    vocab_size = len(vocab.tokens)
+    out_schema = StructType(
+        list(pairs.schema.fields)
+        + [
+            StructField("logit", DoubleType()),
+            StructField("score", DoubleType()),
+            StructField("match", BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        v = bc_vocab.value
+        enc = encoder or make_default_frozen_encoder(
+            vocab_size, token_weights=bc_weights.value
+        )
+        empty: list[int] = []
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            ids = np.zeros((n, max_length), dtype=np.int32)
+            tt = np.zeros((n, max_length), dtype=np.int32)
+            am = np.zeros((n, max_length), dtype=np.int32)
+            for i, (a, b) in enumerate(
+                zip(pdf[left_ids_col], pdf[right_ids_col])
+            ):
+                e = prepare_for_model(
+                    empty if a is None else a,
+                    empty if b is None else b,
+                    max_length,
+                    v,
+                )
                 ids[i] = e["input_ids"]
                 tt[i] = e["token_type_ids"]
                 am[i] = e["attention_mask"]
@@ -255,8 +389,7 @@ def score_candidates_with_encoder(
     carrying only ~100-byte texts, then one iterator mapInPandas — encoder
     state initialized once per task, ids/texts cross Arrow once per pair.
     """
-    from ..functions.text import token_prefix
-    from .scoring import blocking_text, hydrate_pairs
+    from .scoring import hydrate_pairs, offer_blocking_text
 
     idf = None
     if vocab is None:
@@ -264,31 +397,36 @@ def score_candidates_with_encoder(
         # when the encoder is also defaulted, its token vectors get corpus
         # IDF weights from the same pass (rare model-code tokens dominate
         # the cosine — the stand-in for learned attention)
-        title = F.coalesce(F.col("title"), F.lit(""))
-        desc5 = token_prefix(F.coalesce(F.col("description"), F.lit("")), 5)
-        corpus = offers.select(F.lower(F.concat_ws(" ", title, desc5)).alias("text"))
+        corpus = offers.select(offer_blocking_text().alias("text"))
         if encoder is None:
             # leave encoder=None and ship only the ~4-byte/token idf vector:
-            # score_pairs_with_encoder broadcasts it and builds the
+            # score_pretokenized_pairs broadcasts it and builds the
             # [vocab, dim] table lazily inside each task (the seam exists
             # for exactly this — an eager make_default_frozen_encoder here
             # would closure-capture up to ~50 MB into the task command)
             vocab, idf = build_vocab_and_idf_from_corpus(corpus, min_df=vocab_min_df)
         else:
             vocab = build_vocab_from_corpus(corpus, min_df=vocab_min_df)
+    # tokenize-once-per-OFFER: WordPiece runs |offers| times here instead
+    # of 2·|pairs| times in the scoring stage (the candidate:offer ratio is
+    # 10-100× for real blockers); the hydration joins then carry the int32
+    # id arrays (~4 B/token, comparable to the text they replace) and the
+    # per-pair stage is only assemble + encoder forward. Byte-identical to
+    # the text path — prepare_for_model consumes the same ids either way.
+    bc_vocab = pairs.sparkSession.sparkContext.broadcast(vocab)
+    offers_tok = offers.select(
+        "id",
+        make_tokenize_ids_udf(bc_vocab, wordpiece=True)(
+            offer_blocking_text()
+        ).alias("_tok"),
+    )
     hydrated = hydrate_pairs(
-        pairs, offers, broadcast_offers=broadcast_offers,
-        attrs=("title", "description"),
+        pairs, offers_tok, broadcast_offers=broadcast_offers,
+        prepared=True, attrs=(), prepared_cols=("_tok",),
     )
-    texts = hydrated.select(
-        "id_l",
-        "id_r",
-        blocking_text("left").alias("_b_l"),
-        blocking_text("right").alias("_b_r"),
-    )
-    scored = score_pairs_with_encoder(
-        texts, "_b_l", "_b_r", vocab,
-        max_length=max_length, encoder=encoder, wordpiece=True,
+    scored = score_pretokenized_pairs(
+        hydrated, "_tok_left", "_tok_right", vocab,
+        max_length=max_length, encoder=encoder,
         threshold=threshold, token_weights=idf,
     )
     return scored.select("id_l", "id_r", "logit", "score", "match")

@@ -226,15 +226,31 @@ def build_sequence(side: str):
     return F.concat_ws(" ", *cols)
 
 
+def _blocking_text_expr(title_col: str, desc_col: str, desc_tokens: int = 5):
+    """ONE definition of the discriminative pair text — the per-pair
+    (suffixed) and per-offer variants below must stay byte-identical or
+    the encoder's tokenize-once path silently drifts from its text twin."""
+    title = F.coalesce(F.col(title_col), F.lit(""))
+    desc5 = token_prefix(F.coalesce(F.col(desc_col), F.lit("")), desc_tokens)
+    return F.lower(F.concat_ws(" ", title, desc5))
+
+
 def blocking_text(side: str, desc_tokens: int = 5):
     """title + first-5 description tokens, lowered — the reference's
     discriminative pair text (title_for_ts, sample_intermediate_training_
     sets.py:197-205). Full descriptions drown the entity signal in
     boilerplate, so similarity features are computed on this text while the
     full truncated sequence remains available via build_sequence."""
-    title = F.coalesce(F.col(f"title_{side}"), F.lit(""))
-    desc5 = token_prefix(F.coalesce(F.col(f"description_{side}"), F.lit("")), desc_tokens)
-    return F.lower(F.concat_ws(" ", title, desc5))
+    return _blocking_text_expr(
+        f"title_{side}", f"description_{side}", desc_tokens
+    )
+
+
+def offer_blocking_text(desc_tokens: int = 5):
+    """blocking_text over the raw (pre-hydration) offer columns — used to
+    compute per-OFFER state once (vocabulary corpus, pretokenized encoder
+    ids) instead of once per pair side."""
+    return _blocking_text_expr("title", "description", desc_tokens)
 
 
 # Shared feature-column builders: pair_features (the calibration-time path,

@@ -62,3 +62,48 @@ def test_default_encoder_batch_semantics():
     assert logits.shape == (2,)
     assert abs(logits[0] - 4.0) < 1e-6  # identical sides: cos=1 → 8*(1-0.5)
     assert logits[1] < logits[0]
+
+
+def test_pretokenized_path_byte_identical_to_text_path(spark, fixtures_dir):
+    """score_candidates_with_encoder (tokenize-once-per-offer) must emit
+    exactly the rows the per-pair text path emits — logits compared
+    bitwise, on real extracted offers and real blocked candidates."""
+    from productbert_intermediate_spark.operators.blocking import block_offers
+    from productbert_intermediate_spark.operators.extract import extract_offers
+    from productbert_intermediate_spark.operators.scoring import (
+        blocking_text,
+        hydrate_pairs,
+    )
+    from productbert_intermediate_spark.operators.bert_scoring import (
+        build_vocab_and_idf_from_corpus,
+        score_candidates_with_encoder,
+        score_pairs_with_encoder,
+    )
+    from productbert_intermediate_spark.operators.scoring import (
+        offer_blocking_text,
+    )
+    from pyspark.sql import functions as F
+
+    offers = extract_offers(
+        spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+    ).localCheckpoint()
+    pairs = block_offers(offers).localCheckpoint()
+
+    new = score_candidates_with_encoder(pairs, offers)
+
+    corpus = offers.select(offer_blocking_text().alias("text"))
+    vocab, idf = build_vocab_and_idf_from_corpus(corpus, min_df=2)
+    texts = hydrate_pairs(
+        pairs, offers, attrs=("title", "description")
+    ).select(
+        "id_l", "id_r",
+        blocking_text("left").alias("_b_l"),
+        blocking_text("right").alias("_b_r"),
+    )
+    old = score_pairs_with_encoder(
+        texts, "_b_l", "_b_r", vocab, max_length=64,
+        wordpiece=True, token_weights=idf,
+    ).select("id_l", "id_r", "logit", "score", "match")
+
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(new) == key(old)
