@@ -2469,6 +2469,95 @@ left join (select entity_id, source from t_src where rn = 1) ts using (entity_id
 
 
 # --------------------------------------------------------------------------
+# stable entity ids across runs (operators/entity_ids.py). Previous run:
+# gaps-and-islands entities over the first 60% of doc_ids (an "earlier
+# crawl"); new run: the same structure over the full corpus. Growth shifts
+# run boundaries, so inheritance, splits, and fresh clusters all occur
+# naturally; the oracle re-derives the full overlap/award/dense-fresh rule
+# in closed-form SQL.
+
+
+def q_stable_entity_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import assign_entities
+    from ..operators.entity_ids import stabilize_entity_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    cutoff = docs.agg(
+        F.expr("percentile(doc_id, 0.6)").cast("long")
+    ).collect()[0][0]
+
+    def ents(d):
+        a, b = d.alias("a"), d.alias("b")
+        edges = a.join(
+            b,
+            (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+            & F.col("b.source").eqNullSafe(F.col("a.source")),
+        ).select(F.col("a.doc_id").alias("id_l"), F.col("b.doc_id").alias("id_r"))
+        return assign_entities(
+            d.select(F.col("doc_id").alias("id")), edges
+        ).select("id", F.col("entity_id").cast("long").alias("entity_id"))
+
+    prev = ents(docs.where(F.col("doc_id") <= cutoff).select("doc_id", "source"))
+    new = ents(docs.select("doc_id", "source"))
+    out = stabilize_entity_ids(prev, new)
+    return out.select(
+        "id", "entity_id", F.col("inherited").cast("int").alias("inherited")
+    )
+
+
+SQL_STABLE_ENTITY_IDS = """
+with cut as (
+  select cast(quantile_cont(doc_id, 0.6) as bigint) as c from documents
+), prev as (
+  select doc_id as id,
+         cast(min(doc_id) over (partition by source, grp) as bigint) as entity_id
+  from (
+    select doc_id, source,
+           doc_id - row_number() over (partition by source order by doc_id) as grp
+    from documents where doc_id <= (select c from cut)
+  )
+), new as (
+  select doc_id as id,
+         cast(min(doc_id) over (partition by source, grp) as bigint) as entity_id
+  from (
+    select doc_id, source,
+           doc_id - row_number() over (partition by source order by doc_id) as grp
+    from documents
+  )
+), overlap as (
+  select n.entity_id as _new, p.entity_id as _prev, count(*) as _n
+  from new n join prev p on n.id = p.id
+  group by 1, 2
+), cand as (
+  select _new, _prev, _n from (
+    select *, row_number() over (partition by _new order by _n desc, _prev asc) rk
+    from overlap
+  ) where rk = 1
+), awarded as (
+  select _new, _prev from (
+    select *, row_number() over (partition by _prev order by _n desc, _new asc) rk
+    from cand
+  ) where rk = 1
+), clusters as (
+  select distinct entity_id as _new from new
+), mapped as (
+  select c._new, a._prev from clusters c left join awarded a using (_new)
+), fresh as (
+  select _new,
+         (select coalesce(max(entity_id) + 1, 0) from prev)
+           + row_number() over (order by _new) - 1 as _fresh
+  from mapped where _prev is null
+)
+select n.id,
+       cast(coalesce(m._prev, f._fresh) as bigint) as entity_id,
+       cast(m._prev is not null as int) as inherited
+from new n
+join mapped m on m._new = n.entity_id
+left join fresh f on f._new = n.entity_id
+"""
+
+
+# --------------------------------------------------------------------------
 # B-cubed cluster evaluation (operators/metrics_ops.py:bcubed_cells).
 # Predicted clusters: the same gaps-and-islands entity structure as
 # connected_components (so the full large-star/small-star + assignment
@@ -2660,6 +2749,7 @@ REGISTRY: dict[str, tuple] = {
     "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
     "blocking_quality": (q_blocking_quality, _blocking_quality_sql()),
     "bcubed_cells": (q_bcubed_cells, SQL_BCUBED_CELLS),
+    "stable_entity_ids": (q_stable_entity_ids, SQL_STABLE_ENTITY_IDS),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_cosine_matches": (q_ann_cosine_matches, SQL_ANN_COSINE_MATCHES),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit

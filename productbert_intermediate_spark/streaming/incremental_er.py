@@ -83,10 +83,20 @@ def resolve_batch_increment(
     entities_dir: str,
     weights: dict[str, float] | None = None,
     blocking_params: dict | None = None,
+    stable_dir: str | None = None,
 ) -> None:
     """One incremental ER step: fold ``batch_offers`` into the accumulated
     tables. Plain batch function — ``foreachBatch`` calls it with each
-    micro-batch, and tests/registry queries can call it directly."""
+    micro-batch, and tests/registry queries can call it directly.
+
+    ``stable_dir`` additionally maintains a stable_entities table: the
+    entities table keeps the batch-run-equivalent labels (the pinned
+    invariant — CC labels are min member id of the CURRENT graph), while
+    stable_dir carries ids re-keyed against the previous batch via
+    operators/entity_ids.stabilize_entity_ids, so downstream keys survive
+    micro-batches. The two tables always hold the same PARTITION of ids —
+    only the labels differ.
+    """
     bp = blocking_params or {}
     batch = batch_offers.where(F.col("id").isNotNull())
     if _has_data(offers_dir):
@@ -122,6 +132,23 @@ def resolve_batch_increment(
         "overwrite"
     ).parquet(entities_dir)
 
+    if stable_dir is not None:
+        from ..operators.entity_ids import stabilize_entity_ids
+
+        new_ents = spark.read.parquet(entities_dir).select("id", "entity_id")
+        if _has_data(stable_dir):
+            prev = spark.read.parquet(stable_dir).select("id", "entity_id")
+            # materialize BEFORE overwriting the table prev reads from
+            # (Iceberg swap-in point: this becomes a snapshot commit)
+            stable = stabilize_entity_ids(prev, new_ents).localCheckpoint(
+                eager=True
+            )
+        else:
+            stable = new_ents.select(
+                "id", "entity_id", F.lit(False).alias("inherited")
+            )
+        stable.write.mode("overwrite").parquet(stable_dir)
+
 
 def _run_stream(
     spark: SparkSession,
@@ -131,11 +158,13 @@ def _run_stream(
     blocking_params: dict | None,
     available_now: bool,
     timeout_s: int,
+    stable_ids: bool = False,
 ) -> dict:
     offers_dir = os.path.join(workdir, "offers")
     cache_dir = os.path.join(workdir, "score_cache")
     edges_dir = os.path.join(workdir, "match_edges")
     entities_dir = os.path.join(workdir, "entities")
+    stable_dir = os.path.join(workdir, "stable_entities") if stable_ids else None
     checkpoint = os.path.join(workdir, "_stream_checkpoint")
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
@@ -148,6 +177,7 @@ def _run_stream(
             entities_dir,
             weights=weights,
             blocking_params=blocking_params,
+            stable_dir=stable_dir,
         )
 
     writer = source.writeStream.foreachBatch(_step).option(
@@ -193,10 +223,12 @@ def run_incremental_er(
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
     timeout_s: int = 900,
+    stable_ids: bool = False,
 ) -> dict:
     """Stream a PAGES landing directory into a continuously maintained
     entity table under ``workdir`` (offers/, score_cache/, match_edges/,
-    entities/).
+    entities/; plus stable_entities/ when ``stable_ids`` — entity ids that
+    survive micro-batches via operators/entity_ids.stabilize_entity_ids).
 
     ``available_now=True`` drains the current backlog and stops — the
     idempotent catch-up mode: rerunning after new pages land processes
@@ -214,6 +246,7 @@ def run_incremental_er(
         blocking_params,
         available_now,
         timeout_s,
+        stable_ids=stable_ids,
     )
 
 
@@ -226,6 +259,7 @@ def run_incremental_er_offers(
     max_files_per_trigger: int | None = 1,
     available_now: bool = True,
     timeout_s: int = 900,
+    stable_ids: bool = False,
 ) -> dict:
     """Same incremental ER over a landing directory of ALREADY-EXTRACTED
     offers (OFFER_SCHEMA parquet drops) — the entry point for corpora that
@@ -244,4 +278,5 @@ def run_incremental_er_offers(
         blocking_params,
         available_now,
         timeout_s,
+        stable_ids=stable_ids,
     )

@@ -191,3 +191,58 @@ def test_threshold_drift_retracts_stale_edges(spark, tmp_path_factory):
     assert sorted(map(tuple, edges2.select(*EDGE_COLS).collect())) == sorted(
         map(tuple, batch_scored.collect())
     )
+
+
+def test_stable_ids_survive_micro_batches(spark, e2e_dir, tmp_path_factory):
+    """stable_entities: same PARTITION as the invariant entities table each
+    batch, and ids persist across batches — every cluster present after
+    batch k that still exists (by member overlap) after batch k+1 keeps
+    its id; brand-new clusters get fresh ids above every prior id."""
+    root = str(tmp_path_factory.mktemp("incr_stable"))
+    landing = _land(spark, f"{e2e_dir}/pages.parquet", f"{root}/landing", 2)
+    # hold back drop 1: run batch 0 alone first
+    held = os.path.join(root, "held-0001.parquet")
+    shutil.move(os.path.join(landing, "drop-0001.parquet"), held)
+    workdir = f"{root}/work"
+    run_incremental_er(spark, landing, workdir, stable_ids=True)
+
+    stable1 = {
+        r["id"]: r["entity_id"]
+        for r in spark.read.parquet(f"{workdir}/stable_entities").collect()
+    }
+    max1 = max(stable1.values())
+
+    shutil.move(held, os.path.join(landing, "drop-0001.parquet"))
+    run_incremental_er(spark, landing, workdir, stable_ids=True)
+
+    stable2 = spark.read.parquet(f"{workdir}/stable_entities")
+    ents2 = spark.read.parquet(f"{workdir}/entities")
+
+    # 1. same partition as the invariant table (labels differ, grouping not)
+    s = {r["id"]: r["entity_id"] for r in stable2.collect()}
+    e = {r["id"]: r["entity_id"] for r in ents2.collect()}
+    group_s = {}
+    group_e = {}
+    for i, g in s.items():
+        group_s.setdefault(g, set()).add(i)
+    for i, g in e.items():
+        group_e.setdefault(g, set()).add(i)
+    assert sorted(map(sorted, group_s.values())) == sorted(
+        map(sorted, group_e.values())
+    )
+
+    # 2. persistence: ids carried by batch-1 members persist wherever the
+    # batch-2 cluster of that member inherited (the overwhelming majority
+    # here — the corpus only grew)
+    inherited = {
+        r["id"]: r["entity_id"]
+        for r in stable2.where("inherited").collect()
+        if r["id"] in stable1
+    }
+    assert inherited, "growth run inherited nothing — stabilization broken"
+    carried = sum(1 for i, g in inherited.items() if stable1.get(i) == g)
+    assert carried / len(inherited) > 0.95
+
+    # 3. fresh ids sit strictly above every batch-1 id
+    fresh = [r["entity_id"] for r in stable2.where("NOT inherited").collect()]
+    assert all(g > max1 for g in fresh)
