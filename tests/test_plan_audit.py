@@ -22,12 +22,16 @@ NLJ_ALLOWED = {"ann_cosine_matches", "ann_topk"}
 # O(1) or O(num_partitions) rows, never O(input):
 #  - confusion_matrix: final merge of one 4-counter row (partial aggs are
 #    map-side and parallel);
-#  - label_encode / fk_surrogate_join: dense_ids' cumulative-offset window
-#    runs over one row per partition (operators/ids.py), not over the keys.
+#  - label_encode / fk_surrogate_join / stable_entity_ids: dense_ids'
+#    cumulative-offset window runs over one row per partition
+#    (operators/ids.py), not over the keys (verified: the only
+#    SinglePartition in stable_entity_ids' plan sits over the
+#    HashAggregate(keys=[_pid]) per-partition counts).
 SINGLE_PARTITION_ALLOWED = {
     "confusion_matrix",
     "label_encode",
     "fk_surrogate_join",
+    "stable_entity_ids",
 }
 
 
