@@ -65,7 +65,7 @@ def _loadavg_bracket(name: str):
     _LOADAVG.setdefault(name, []).append(round(os.getloadavg()[0], 1))
 
 
-def _bench_er_throughput(spark, n_pages: int) -> tuple[float, dict[str, float]]:
+def _bench_er_throughput(spark, n_pages: int) -> tuple[float, float, dict[str, float]]:
     """Candidate-pairs-scored/sec on the synthetic corpus (north-rule metric)."""
     from pyspark.sql import functions as F
 
@@ -138,17 +138,43 @@ def _bench_er_throughput(spark, n_pages: int) -> tuple[float, dict[str, float]]:
     timings["er_score"] = score_sec
 
     # Encoder-scorer stage (the reference's actual decision stack shape:
-    # pair-encode → frozen encoder → sigmoid; model/model.py:28-55). Timed
-    # end-to-end per pass INCLUDING the corpus vocabulary+IDF build — that
-    # pass is part of what the stage costs a fresh run. min-of-2.
-    enc_runs = []
-    _loadavg_bracket("er_score_encoder")
-    for _ in range(2):
+    # pair-encode → frozen encoder → sigmoid; model/model.py:28-55).
+    # Protocol (VERDICT r4 #1 — the old min-of-2 mixed a >10x one-time cost
+    # into the figure: 46.8-85.5s cold vs 6.5-9.9s warm at this shape):
+    #   * the corpus vocabulary+IDF build is timed ONCE, separately
+    #     (er_encoder_vocab_build) — the reference's analog loads the model
+    #     outside its eval loop (base_trainer.py:158-191);
+    #   * the first scoring pass is recorded as er_score_encoder_cold
+    #     (Python-worker fan-out + broadcast + JIT — what a fresh run pays
+    #     once per job, NOT once per candidate table);
+    #   * er_score_encoder and encoder_pairs_per_sec are the min over
+    #     BENCH_REPS further passes — the steady-state rate that governs
+    #     anything beyond the first few million pairs.
+    from productbert_intermediate_spark.operators.scoring import (
+        offer_blocking_text,
+    )
+
+    _loadavg_bracket("er_encoder_vocab_build")
+    t0 = time.time()
+    enc_vocab, enc_idf = BS.build_vocab_and_idf_from_corpus(
+        offers.select(offer_blocking_text().alias("text")), min_df=2
+    )
+    timings["er_encoder_vocab_build"] = time.time() - t0
+    _loadavg_bracket("er_encoder_vocab_build")
+
+    def _enc_pass() -> float:
         t0 = time.time()
-        _materialize(BS.score_candidates_with_encoder(pairs, offers))
-        enc_runs.append(time.time() - t0)
+        _materialize(
+            BS.score_candidates_with_encoder(
+                pairs, offers, vocab=enc_vocab, token_weights=enc_idf
+            )
+        )
+        return time.time() - t0
+
     _loadavg_bracket("er_score_encoder")
-    timings["er_score_encoder"] = min(enc_runs)
+    timings["er_score_encoder_cold"] = _enc_pass()
+    timings["er_score_encoder"] = min(_enc_pass() for _ in range(BENCH_REPS))
+    _loadavg_bracket("er_score_encoder")
 
     cluster_runs = []
     _loadavg_bracket("er_cluster")

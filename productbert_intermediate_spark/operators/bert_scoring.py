@@ -184,17 +184,22 @@ def make_tokenize_ids_udf(vocab_broadcast, wordpiece: bool = True):
 
     Used to tokenize each OFFER once; the per-pair stage then only
     assembles [CLS] a [SEP] b [SEP] from the precomputed ids. A word-level
-    memo (word → subword ids) carries across the whole task: product text
-    re-uses a small vocabulary heavily, so greedy WordPiece matching — the
-    expensive inner loop — runs once per distinct word per task.
+    memo (word → subword ids) lives in the UDF closure, OUTSIDE the
+    per-batch function: pandas_udf invokes ``tok_ids`` once per Arrow
+    batch, so a memo created inside it would reset every batch (ADVICE r4);
+    in the closure it persists for the life of the deserialized UDF in the
+    Python worker — product text re-uses a small vocabulary heavily, so
+    greedy WordPiece matching (the expensive inner loop) runs once per
+    distinct word per worker, amortized across every batch it serves.
+    Sound because one UDF instance sees exactly one vocabulary broadcast.
     """
+    word_memo: dict[str, list[int]] = {}
 
     @pandas_udf(ArrayType(IntegerType()))
     def tok_ids(s: pd.Series) -> pd.Series:  # pragma: no cover - executor
         v = vocab_broadcast.value
         get_id = v.tokens.get
         unk = v.unk_id
-        word_memo: dict[str, list[int]] = {}
 
         def word_ids(w: str) -> list[int]:
             got = word_memo.get(w)
@@ -370,6 +375,8 @@ def score_candidates_with_encoder(
     vocab_min_df: int = 2,
     threshold: float = 0.5,
     broadcast_offers: bool = False,
+    token_weights: np.ndarray | None = None,
+    salt_hot_ids: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Candidate (id_l, id_r) pairs → (id_l, id_r, logit, score, match) via
     the transformer-shaped path: hydrate pair texts → encode → frozen
@@ -388,10 +395,23 @@ def score_candidates_with_encoder(
     Scale shape: one hydration join (exchange-reused, broadcast when small)
     carrying only ~100-byte texts, then one iterator mapInPandas — encoder
     state initialized once per task, ids/texts cross Arrow once per pair.
-    """
-    from .scoring import hydrate_pairs, offer_blocking_text
 
-    idf = None
+    ``token_weights`` rides along with an externally-built ``vocab`` (the
+    pair ``build_vocab_and_idf_from_corpus`` returns), so a caller — the
+    bench, a resumed pipeline — can pay the corpus vocabulary pass ONCE and
+    score many candidate tables against it; leaving both None keeps the
+    self-contained build-from-offers behavior.
+
+    ``salt_hot_ids=(n_salts, hot_threshold)`` opts the streamed hydration
+    into differential hot-id salting (hydrate_pairs_salted) — the same
+    skew guard the logistic scorer has: an externally-supplied candidate
+    table with one hub id otherwise concentrates that id's entire Arrow
+    scoring workload in one task (VERDICT r4 #4). Ignored on the broadcast
+    path, which has no shuffle to skew.
+    """
+    from .scoring import hydrate_pairs, hydrate_pairs_salted, offer_blocking_text
+
+    idf = token_weights
     if vocab is None:
         # vocabulary over the SAME per-offer text the encoder will see;
         # when the encoder is also defaulted, its token vectors get corpus
@@ -420,10 +440,30 @@ def score_candidates_with_encoder(
             offer_blocking_text()
         ).alias("_tok"),
     )
-    hydrated = hydrate_pairs(
-        pairs, offers_tok, broadcast_offers=broadcast_offers,
-        prepared=True, attrs=(), prepared_cols=("_tok",),
-    )
+    if salt_hot_ids is not None and not broadcast_offers:
+        from .skew import salted_repartition_pairs
+
+        n_salts, hot_threshold = salt_hot_ids
+        # level the SOURCE by pair hash first (a hot id's pairs land one
+        # shuffle partition otherwise) — same move as the logistic path
+        pairs = salted_repartition_pairs(
+            pairs, pairs.sparkSession.sparkContext.defaultParallelism * 2
+        )
+        hydrated = hydrate_pairs_salted(
+            pairs, offers_tok, n_salts=n_salts, hot_threshold=hot_threshold,
+            prepared=True, attrs=(), prepared_cols=("_tok",),
+        )
+        # hydration leaves a hot id spread over only n_salts partitions;
+        # the Arrow stage's cost is per-ROW, so re-level by pair hash
+        # before it (rows are ids + two int arrays — cheap shuffle)
+        hydrated = salted_repartition_pairs(
+            hydrated, pairs.sparkSession.sparkContext.defaultParallelism * 2
+        )
+    else:
+        hydrated = hydrate_pairs(
+            pairs, offers_tok, broadcast_offers=broadcast_offers,
+            prepared=True, attrs=(), prepared_cols=("_tok",),
+        )
     scored = score_pretokenized_pairs(
         hydrated, "_tok_left", "_tok_right", vocab,
         max_length=max_length, encoder=encoder,

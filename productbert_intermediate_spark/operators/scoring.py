@@ -156,12 +156,15 @@ def hydrate_pairs_salted(
     """hydrate_pairs with differential hot-id salting (operators/skew.py).
 
     Same output as hydrate_pairs (row-for-row, asserted in tests/test_skew
-    .py), but an id appearing in more than ``hot_threshold`` pairs — on
-    EITHER side — is spread over ``n_salts`` shuffle partitions in both
-    hydration joins instead of landing whole in one. The hot set is counted
-    once over the union of both id columns so ONE salted offers subplan
-    serves both joins; as in hydrate_pairs, the per-side renames happen
-    after the joins, so ReuseExchange materializes that subplan once.
+    .py), but an id whose SUMMED appearance count across both pair sides
+    exceeds ``hot_threshold`` is spread over ``n_salts`` shuffle partitions
+    in both hydration joins instead of landing whole in one. The count runs
+    over the union of the id_l and id_r columns — so 60k left + 60k right
+    trips a 100k threshold (deliberately conservative: salting a warm key
+    costs one extra dim replica row; missing a hot one costs a straggler) —
+    and ONE salted offers subplan then serves both joins; as in
+    hydrate_pairs, the per-side renames happen after the joins, so
+    ReuseExchange materializes that subplan once.
 
     Use on the streamed (non-broadcast) path only: a broadcast hydration
     join has no shuffle to skew.

@@ -2056,7 +2056,12 @@ def q_er_incremental_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("specTableContent"),
     )
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # keyed by (sf_dir, applicationId) so a concurrent pytest run and
+    # driver run on the same sf_dir can't clobber each other's landing +
+    # stream checkpoints mid-run (VERDICT r4 #7); the rmtree below then
+    # only ever clears THIS session's previous attempt
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{sf_dir}\x00{app}".encode()).hexdigest()[:8]
     root = f"/tmp/spark_graft_incr_er_{tag}"
     # fresh landing + state per run: re-execution must re-derive everything
     shutil.rmtree(root, ignore_errors=True)
@@ -2679,7 +2684,6 @@ REGISTRY: dict[str, tuple] = {
     # P/A/J/W/U operator family (SURVEY.md §2)
     "wdc_clean_string": (q_wdc_clean_string, SQL_WDC_CLEAN_STRING),
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
-    "hydration_join": (q_hydration_join, SQL_HYDRATION_JOIN),
     "semi_join": (q_semi_join, SQL_SEMI_JOIN),
     "anti_join": (q_anti_join, SQL_ANTI_JOIN),
     "cluster_size_cap": (q_cluster_size_cap, SQL_CLUSTER_SIZE_CAP),
@@ -2706,7 +2710,6 @@ REGISTRY: dict[str, tuple] = {
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
-    "bert_pair_encode": (q_bert_pair_encode, SQL_BERT_PAIR_ENCODE),
     "bert_wordpiece_encode": (q_bert_wordpiece_encode, SQL_BERT_WORDPIECE_ENCODE),
     "mlm_mask": (q_mlm_mask, SQL_MLM_MASK),
     "vocab_min_df": (q_vocab_min_df, SQL_VOCAB_MIN_DF),
@@ -2722,7 +2725,6 @@ REGISTRY: dict[str, tuple] = {
     "er_blocking_pairs": (q_er_blocking_pairs, SQL_ER_BLOCKING_PAIRS),
     "fk_surrogate_join": (q_fk_surrogate_join, SQL_FK_SURROGATE_JOIN),
     "lang_id": (q_lang_id, SQL_LANG_ID),
-    "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
     # skew-salted hydration (operators/skew.py): hash-checked identity
     # against the plain-join SQL oracle, with hot_threshold=5 forcing most
     # keys down the replicate+salt-match branch — driver evidence for the
@@ -2733,23 +2735,31 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_probeall": (q_ann_ivf_probeall, SQL_ANN_IVF_PROBEALL),
     "porter_stem_golden": (q_porter_stem_golden, SQL_PORTER_STEM_GOLDEN),
     "er_score_pairs_jvm": (q_er_score_pairs_jvm, SQL_ER_SCORE_PAIRS_JVM),
-    "er_entities_jvm": (q_er_entities_jvm, SQL_ER_ENTITIES_JVM),
     # §2.8 streaming, driver-checkable: the stateful streaming dedup run
     # end-to-end with a batch SQL oracle (see q_streaming_dedup_twin)
     "streaming_dedup_twin": (q_streaming_dedup_twin, SQL_STREAMING_DEDUP_TWIN),
     # incremental (foreachBatch) ER end-to-end, held to the SAME independent
     # transitive-closure oracle as the batch tail (see the docstring)
     "er_incremental_entities": (q_er_incremental_entities, SQL_ER_ENTITIES_JVM),
-    # oracles KEPT but outside the driver's 50-row window (still checked by
-    # pytest's oracle suite every run, and by the driver if the window ever
-    # widens): entity consolidation + blocking evaluation (new round-4
-    # capability; hash-checked in pytest), then ann_topk — whose brute-force
-    # semantics are driver-covered by ann_ivf_probeall (probe-all ≡ exact
-    # over the same arithmetic) — and ann_cosine_matches, covered by both
+    # entity consolidation + blocking/cluster evaluation + cross-run id
+    # stability (round-4 capability, rotated INTO the driver window per
+    # VERDICT r4 #2 in place of near-redundant rows: er_incremental_entities
+    # already holds er_entities_jvm's oracle, salted_hydration_join +
+    # fk_surrogate_join cover plain hydration_join's shape, and
+    # bert_wordpiece_encode subsumes the basic-tokenizer encode variant)
     "golden_records": (q_golden_records, SQL_GOLDEN_RECORDS),
     "blocking_quality": (q_blocking_quality, _blocking_quality_sql()),
     "bcubed_cells": (q_bcubed_cells, SQL_BCUBED_CELLS),
     "stable_entity_ids": (q_stable_entity_ids, SQL_STABLE_ENTITY_IDS),
+    # oracles KEPT but outside the driver's 50-row window (still checked by
+    # pytest's oracle suite every run, and by the driver if the window ever
+    # widens): the rotated-out near-redundant rows above, then ann_topk —
+    # whose brute-force semantics are driver-covered by ann_ivf_probeall
+    # (probe-all ≡ exact over the same arithmetic) — and ann_cosine_matches
+    "er_entities_jvm": (q_er_entities_jvm, SQL_ER_ENTITIES_JVM),
+    "hydration_join": (q_hydration_join, SQL_HYDRATION_JOIN),
+    "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+    "bert_pair_encode": (q_bert_pair_encode, SQL_BERT_PAIR_ENCODE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_cosine_matches": (q_ann_cosine_matches, SQL_ANN_COSINE_MATCHES),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit

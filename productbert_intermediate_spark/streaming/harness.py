@@ -108,7 +108,12 @@ def dedup_documents_two_crawls(
     the sharded stateful operator, and nothing funnels through the driver.
     """
     if work_dir is None:
-        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        # keyed by (sf_dir, applicationId): the app id is unique per
+        # SparkSession, so a concurrent pytest run and driver run on the
+        # SAME sf_dir get disjoint scratch trees instead of rmtree-ing
+        # each other's live checkpoints mid-stream (VERDICT r4 #7)
+        app = spark.sparkContext.applicationId
+        tag = hashlib.md5(f"{sf_dir}\x00{app}".encode()).hexdigest()[:8]
         work_dir = f"/tmp/spark_graft_stream_twin_{tag}"
     # fresh state + checkpoint per run — determinism condition 3
     shutil.rmtree(work_dir, ignore_errors=True)

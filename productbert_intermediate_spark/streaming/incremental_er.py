@@ -56,6 +56,7 @@ everything downstream is already shaped for it.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -136,18 +137,36 @@ def resolve_batch_increment(
         from ..operators.entity_ids import stabilize_entity_ids
 
         new_ents = spark.read.parquet(entities_dir).select("id", "entity_id")
+        # crash recovery: a failure between the two renames below leaves
+        # the previous table under .old and no live dir — restore it so
+        # the replayed batch still inherits ids
+        old_dir = stable_dir + ".old"
+        if not os.path.isdir(stable_dir) and os.path.isdir(old_dir):
+            os.rename(old_dir, stable_dir)
         if _has_data(stable_dir):
             prev = spark.read.parquet(stable_dir).select("id", "entity_id")
-            # materialize BEFORE overwriting the table prev reads from
-            # (Iceberg swap-in point: this becomes a snapshot commit)
-            stable = stabilize_entity_ids(prev, new_ents).localCheckpoint(
-                eager=True
-            )
+            stable = stabilize_entity_ids(prev, new_ents)
         else:
             stable = new_ents.select(
                 "id", "entity_id", F.lit(False).alias("inherited")
             )
-        stable.write.mode("overwrite").parquet(stable_dir)
+        # Write-then-swap, never overwrite-in-place: the new table reads
+        # from the old one, and in-place overwrite protected only by
+        # localCheckpoint is non-reliable (executor loss discards the
+        # blocks AFTER the source files are gone) and non-atomic (a crash
+        # mid-write loses the previous stable table — exactly the cross-run
+        # continuity this table exists for). ADVICE r4. The directory
+        # rename is atomic on a local FS; on Iceberg this whole dance
+        # becomes one snapshot commit (same seam as sources.catalog).
+        tmp_dir = stable_dir + ".next"
+        stable.write.mode("overwrite").parquet(tmp_dir)
+        if os.path.isdir(old_dir):
+            shutil.rmtree(old_dir)
+        if os.path.isdir(stable_dir):
+            os.rename(stable_dir, old_dir)
+        os.rename(tmp_dir, stable_dir)
+        if os.path.isdir(old_dir):
+            shutil.rmtree(old_dir)
 
 
 def _run_stream(

@@ -58,15 +58,20 @@ def main() -> None:
     n_offers = offers.count()
 
     # skewed candidate table: hot_frac of pairs share ONE left id; partners
-    # and the uniform tail are deterministic functions of the row index
+    # and the uniform tail are deterministic functions of the row index.
+    # pmod, not %: Spark's % keeps the dividend's sign, so xxhash64 % n
+    # lands negative for ~half of hashes — ids matching NO offer, which the
+    # inner hydration join silently drops (~2/3 of the workload in r4's
+    # recorded run; flagged in ADVICE r4). pmod keeps every generated pair
+    # joinable, matching operators/skew.py's own salt arithmetic.
     hot_id = offers.agg(F.min("id")).collect()[0][0]
     n_hot = int(n_pairs * hot_frac)
     idx = spark.range(n_pairs)
     pairs = idx.select(
         F.when(F.col("id") < n_hot, F.lit(hot_id))
-        .otherwise(F.xxhash64(F.col("id"), F.lit("l")) % n_offers)
+        .otherwise(F.pmod(F.xxhash64(F.col("id"), F.lit("l")), F.lit(n_offers)))
         .alias("id_l"),
-        (F.xxhash64(F.col("id"), F.lit("r")) % n_offers).alias("id_r"),
+        F.pmod(F.xxhash64(F.col("id"), F.lit("r")), F.lit(n_offers)).alias("id_r"),
     ).where(F.col("id_l") != F.col("id_r"))
     pairs.cache()
     n_real = pairs.count()
@@ -86,28 +91,39 @@ def main() -> None:
             times.append(time.time() - t0)
         return min(times), sorted(times)[len(times) // 2]
 
-    def checksum(salt):
-        return run(salt).agg(
+    def checksum_and_count(salt):
+        row = run(salt).agg(
             F.coalesce(
                 F.bit_xor(F.xxhash64("id_l", "id_r", F.col("match"))), F.lit(0)
-            )
-        ).collect()[0][0]
+            ).alias("ck"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        return row["ck"], row["n"]
 
     plain_min, plain_med = measure(None)
     salted_min, salted_med = measure((cores * 2, 50_000))
-    same = checksum(None) == checksum((cores * 2, 50_000))
+    ck_plain, n_scored = checksum_and_count(None)
+    ck_salted, n_scored_salted = checksum_and_count((cores * 2, 50_000))
+    same = (ck_plain == ck_salted) and (n_scored == n_scored_salted)
 
     print(
         json.dumps(
             {
                 "n_offers": n_offers,
                 "n_pairs": n_real,
+                # pairs/s denominators use the POST-hydration scored row
+                # count, not the generated pair count: pairs whose partner
+                # id extracted to NULL never hydrate, and counting them
+                # overstates throughput (ADVICE r4)
+                "n_scored": n_scored,
                 "hot_frac": hot_frac,
                 "cores": cores,
                 "plain_sec": round(plain_min, 3),
                 "plain_sec_median": round(plain_med, 3),
                 "salted_sec": round(salted_min, 3),
                 "salted_sec_median": round(salted_med, 3),
+                "plain_pairs_per_sec": round(n_scored / plain_min, 1),
+                "salted_pairs_per_sec": round(n_scored / salted_min, 1),
                 "speedup": round(plain_min / salted_min, 3),
                 "output_identical": same,
             }
