@@ -45,12 +45,17 @@ non-transactional sink offers; the derived tables (match_edges, entities)
 are overwrite-mode and self-heal on the next batch. (On Iceberg the
 appends become atomic commits; same seam as sources.catalog.)
 
-Scale: per-batch cost = one full-corpus blocking pass (linear, bounded
-keys) + scoring of new pairs only + one CC over the match graph. At
-10^12 offers the full re-block per batch is the piece to upgrade: keep a
-persistent (key, id) index plus a token-df delta table and emit
-retroactive pairs for tokens that cross min_df — the score cache and
-everything downstream is already shaped for it.
+Scale: the foldback mode above re-blocks the full corpus and re-closes the
+full match graph each batch — exact but O(corpus) per batch. The INDEXED
+mode (``indexed=True`` / :func:`resolve_batch_indexed`) is the upgrade this
+module used to only name: a persistent (key, id) blocking index with
+token-df deltas and retroactive pairs (streaming/blocking_index.py) plus an
+incremental closure over delta-affected components only
+(streaming/incremental_cc.py), all on versioned snapshot state
+(streaming/state_store.py). Per-batch cost is bounded by the batch + the
+flipped-token fallout, measured ~flat under 10x corpus growth
+(test_indexed_per_batch_cost_flat_under_corpus_growth); the same pinned
+batch-equivalence invariant holds in both modes.
 """
 
 from __future__ import annotations
@@ -134,39 +139,221 @@ def resolve_batch_increment(
     ).parquet(entities_dir)
 
     if stable_dir is not None:
-        from ..operators.entity_ids import stabilize_entity_ids
+        _stabilize_step(
+            spark,
+            spark.read.parquet(entities_dir).select("id", "entity_id"),
+            stable_dir,
+        )
 
-        new_ents = spark.read.parquet(entities_dir).select("id", "entity_id")
-        # crash recovery: a failure between the two renames below leaves
-        # the previous table under .old and no live dir — restore it so
-        # the replayed batch still inherits ids
-        old_dir = stable_dir + ".old"
-        if not os.path.isdir(stable_dir) and os.path.isdir(old_dir):
-            os.rename(old_dir, stable_dir)
-        if _has_data(stable_dir):
-            prev = spark.read.parquet(stable_dir).select("id", "entity_id")
-            stable = stabilize_entity_ids(prev, new_ents)
-        else:
-            stable = new_ents.select(
-                "id", "entity_id", F.lit(False).alias("inherited")
-            )
-        # Write-then-swap, never overwrite-in-place: the new table reads
-        # from the old one, and in-place overwrite protected only by
-        # localCheckpoint is non-reliable (executor loss discards the
-        # blocks AFTER the source files are gone) and non-atomic (a crash
-        # mid-write loses the previous stable table — exactly the cross-run
-        # continuity this table exists for). ADVICE r4. The directory
-        # rename is atomic on a local FS; on Iceberg this whole dance
-        # becomes one snapshot commit (same seam as sources.catalog).
-        tmp_dir = stable_dir + ".next"
-        stable.write.mode("overwrite").parquet(tmp_dir)
-        if os.path.isdir(old_dir):
-            shutil.rmtree(old_dir)
-        if os.path.isdir(stable_dir):
-            os.rename(stable_dir, old_dir)
-        os.rename(tmp_dir, stable_dir)
-        if os.path.isdir(old_dir):
-            shutil.rmtree(old_dir)
+
+SCH_MATCH_EDGES = (
+    "id_l long, id_r long, logit double, score double, match boolean,"
+    " bucket int"
+)
+
+
+def _pair_bucket(n_buckets: int):
+    from .state_store import bucket_of
+
+    return bucket_of(F.concat_ws("\x00", "id_l", "id_r"), n_buckets)
+
+
+def _stabilize_step(spark, new_ents: DataFrame, stable_dir: str) -> None:
+    """Maintain the stable_entities table against ``new_ents`` (id,
+    entity_id) with a write-then-rename swap (crash-safe, see ADVICE r4)."""
+    from ..operators.entity_ids import stabilize_entity_ids
+
+    old_dir = stable_dir + ".old"
+    if not os.path.isdir(stable_dir) and os.path.isdir(old_dir):
+        os.rename(old_dir, stable_dir)
+    if _has_data(stable_dir):
+        prev = spark.read.parquet(stable_dir).select("id", "entity_id")
+        stable = stabilize_entity_ids(prev, new_ents)
+    else:
+        stable = new_ents.select(
+            "id", "entity_id", F.lit(False).alias("inherited")
+        )
+    tmp_dir = stable_dir + ".next"
+    stable.write.mode("overwrite").parquet(tmp_dir)
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+    if os.path.isdir(stable_dir):
+        os.rename(stable_dir, old_dir)
+    os.rename(tmp_dir, stable_dir)
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+
+
+def resolve_batch_indexed(
+    spark: SparkSession,
+    batch_offers: DataFrame,
+    workdir: str,
+    batch_id: int | None = None,
+    weights: dict[str, float] | None = None,
+    blocking_params: dict | None = None,
+    n_buckets: int = 16,
+    stable_ids: bool = False,
+) -> None:
+    """One incremental ER step at O(batch) cost: the blocking-index upgrade
+    of :func:`resolve_batch_increment` (VERDICT r4 #3).
+
+    Same pinned invariant — after every batch, the candidate/edge/entity
+    state equals a from-scratch batch run over the accumulated corpus — but
+    per-batch work is bounded by the batch plus flipped-token fallout
+    (streaming/blocking_index.py), never a corpus re-block, and the closure
+    is reconciled only inside delta-affected components
+    (streaming/incremental_cc.py).
+
+    Crash story: all index/edge/component state commits atomically per batch
+    (VersionedState CURRENT pointer); ``batch_id`` short-circuits a replay
+    of an already-committed batch, and a replay of an UNcommitted batch
+    re-derives everything from the previous snapshot (the offers/cache
+    appends are anti-join-guarded, as in the non-indexed path).
+    """
+    from .blocking_index import (
+        SCH_OFFER_TOKENS,
+        BlockingParams,
+        apply_batch,
+    )
+    from .incremental_cc import update_components
+    from .state_store import VersionedState
+
+    state = VersionedState(spark, os.path.join(workdir, "index"), n_buckets)
+    if batch_id is not None and state.last_batch_id() == batch_id:
+        return  # replay of a committed batch — already folded in
+    offers_dir = os.path.join(workdir, "offers")
+    cache_dir = os.path.join(workdir, "score_cache")
+    params = BlockingParams(**(blocking_params or {}))
+
+    batch = batch_offers.where(F.col("id").isNotNull())
+    # new = not yet in the INDEX (bucket-pruned lookup): derived from the
+    # committed snapshot, not the offers dir, so a crash between the offers
+    # append and the commit replays cleanly
+    seen = state.lookup(
+        "offer_tokens",
+        SCH_OFFER_TOKENS,
+        "id",
+        batch.select("id").distinct(),
+    ).select("id")
+    batch_new = batch.join(seen, "id", "left_anti").localCheckpoint(eager=True)
+    to_append = batch_new
+    if _has_data(offers_dir):
+        existing = spark.read.parquet(offers_dir).select("id")
+        to_append = batch_new.join(existing, "id", "left_anti")
+    to_append.write.mode("append").parquet(offers_dir)
+
+    state.begin()
+    delta = apply_batch(state, batch_new, params)
+    pb = _pair_bucket(n_buckets)
+
+    # candidate adds not already in the set (== in match_edges); both probes
+    # broadcast the SMALL delta over bucket-pruned reads — map-only
+    me = state.read("match_edges", SCH_MATCH_EDGES)
+    raw_adds = delta["pair_adds"]
+    add_buckets = [
+        r["b"] for r in raw_adds.select(pb.alias("b")).distinct().collect()
+    ]
+    me_add_pruned = me.where(F.col("bucket").isin(add_buckets)) if add_buckets else me.limit(0)
+    already = me_add_pruned.join(
+        F.broadcast(raw_adds), ["id_l", "id_r"], "left_semi"
+    ).select("id_l", "id_r").localCheckpoint(eager=True)
+    adds = raw_adds.join(F.broadcast(already), ["id_l", "id_r"], "left_anti")
+    adds = adds.localCheckpoint(eager=True)
+
+    # score only never-scored pairs; cached scores are reused verbatim
+    offers_all = spark.read.parquet(offers_dir)
+    if _has_data(cache_dir):
+        cache = spark.read.parquet(cache_dir)
+        to_score = adds.join(
+            cache.select("id_l", "id_r"), ["id_l", "id_r"], "left_anti"
+        )
+    else:
+        cache = None
+        to_score = adds
+    scored_new = S.score_candidates(
+        to_score, offers_all, weights=weights, n_offers=delta["n_offers"]
+    ).select(*EDGE_COLS)
+    scored_new.write.mode("append").parquet(cache_dir)
+    cache_all = spark.read.parquet(cache_dir)
+    add_rows = cache_all.join(
+        F.broadcast(adds), ["id_l", "id_r"], "left_semi"
+    ).localCheckpoint(eager=True)
+
+    # removals leave match_edges; their stored rows carry the match flag
+    removals = delta["pair_removals"].localCheckpoint(eager=True)
+    rem_buckets = [
+        r["b"] for r in removals.select(pb.alias("b")).distinct().collect()
+    ]
+    me_rem_pruned = me.where(F.col("bucket").isin(rem_buckets)) if rem_buckets else me.limit(0)
+    rem_rows = me_rem_pruned.join(
+        F.broadcast(removals), ["id_l", "id_r"], "left_semi"
+    ).select(*EDGE_COLS).localCheckpoint(eager=True)
+
+    touched = sorted(
+        {int(b) for b in add_buckets} | {int(b) for b in rem_buckets}
+    )
+    keep = (
+        me.where(F.col("bucket").isin(touched))
+        .select(*EDGE_COLS)
+        .join(F.broadcast(removals), ["id_l", "id_r"], "left_anti")
+    )
+    state.rewrite_buckets(
+        "match_edges",
+        SCH_MATCH_EDGES,
+        keep.unionByName(add_rows).select(*EDGE_COLS, pb.alias("bucket")),
+        touched,
+    )
+
+    cur_match = (
+        state.read_next("match_edges", SCH_MATCH_EDGES)
+        .where("match")
+        .select("id_l", "id_r")
+    )
+    update_components(
+        state,
+        new_ids=batch_new.select("id"),
+        edge_adds=add_rows.where("match").select("id_l", "id_r"),
+        edge_dels=rem_rows.where("match").select("id_l", "id_r"),
+        current_match_edges=cur_match,
+    )
+    if stable_ids:
+        _stabilize_step(
+            spark,
+            _next_entities(spark, state),
+            os.path.join(workdir, "stable_entities"),
+        )
+    state.commit(batch_id)
+
+
+def _next_entities(spark, state) -> DataFrame:
+    """(id, entity_id) from the IN-PROGRESS components table."""
+    from .incremental_cc import SCH_COMPONENTS
+
+    return state.read_next("components", SCH_COMPONENTS).select(
+        "id", F.col("label").alias("entity_id")
+    )
+
+
+def read_entities_indexed(
+    spark: SparkSession, workdir: str, n_buckets: int = 16
+) -> DataFrame:
+    """The committed (id, entity_id) table of an indexed-mode workdir."""
+    from .incremental_cc import read_entities
+    from .state_store import VersionedState
+
+    return read_entities(
+        VersionedState(spark, os.path.join(workdir, "index"), n_buckets)
+    )
+
+
+def read_match_edges_indexed(
+    spark: SparkSession, workdir: str, n_buckets: int = 16
+) -> DataFrame:
+    """The committed valid-edge table (EDGE_COLS) of an indexed workdir."""
+    from .state_store import VersionedState
+
+    state = VersionedState(spark, os.path.join(workdir, "index"), n_buckets)
+    return state.read("match_edges", SCH_MATCH_EDGES).select(*EDGE_COLS)
 
 
 def _run_stream(
@@ -178,6 +365,8 @@ def _run_stream(
     available_now: bool,
     timeout_s: int,
     stable_ids: bool = False,
+    indexed: bool = False,
+    n_buckets: int = 16,
 ) -> dict:
     offers_dir = os.path.join(workdir, "offers")
     cache_dir = os.path.join(workdir, "score_cache")
@@ -187,17 +376,29 @@ def _run_stream(
     checkpoint = os.path.join(workdir, "_stream_checkpoint")
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
-        resolve_batch_increment(
-            spark,
-            batch_df,
-            offers_dir,
-            cache_dir,
-            edges_dir,
-            entities_dir,
-            weights=weights,
-            blocking_params=blocking_params,
-            stable_dir=stable_dir,
-        )
+        if indexed:
+            resolve_batch_indexed(
+                spark,
+                batch_df,
+                workdir,
+                batch_id=batch_id,
+                weights=weights,
+                blocking_params=blocking_params,
+                n_buckets=n_buckets,
+                stable_ids=stable_ids,
+            )
+        else:
+            resolve_batch_increment(
+                spark,
+                batch_df,
+                offers_dir,
+                cache_dir,
+                edges_dir,
+                entities_dir,
+                weights=weights,
+                blocking_params=blocking_params,
+                stable_dir=stable_dir,
+            )
 
     writer = source.writeStream.foreachBatch(_step).option(
         "checkpointLocation", checkpoint
@@ -208,6 +409,16 @@ def _run_stream(
     if not available_now:  # pragma: no cover - tail mode returns the handle
         return {"query": q}
     q.awaitTermination(timeout_s)
+
+    if indexed:
+        # flat views once per RUN (not per batch — that is the point):
+        # downstream consumers and the report keep the same layout
+        read_match_edges_indexed(spark, workdir, n_buckets).write.mode(
+            "overwrite"
+        ).parquet(edges_dir)
+        read_entities_indexed(spark, workdir, n_buckets).write.mode(
+            "overwrite"
+        ).parquet(entities_dir)
 
     def _rows(p) -> int:
         # recentProgress entries are dicts in some PySpark versions and
@@ -243,6 +454,8 @@ def run_incremental_er(
     available_now: bool = True,
     timeout_s: int = 900,
     stable_ids: bool = False,
+    indexed: bool = False,
+    n_buckets: int = 16,
 ) -> dict:
     """Stream a PAGES landing directory into a continuously maintained
     entity table under ``workdir`` (offers/, score_cache/, match_edges/,
@@ -255,6 +468,10 @@ def run_incremental_er(
     pairs (the cache anti-join), exactly like a resumed batch pipeline but
     without re-scoring anything. ``available_now=False`` tails the
     directory. Returns a report dict (counts + micro-batches this run).
+
+    ``indexed=True`` switches the per-batch step to the O(batch) blocking
+    index + incremental closure (resolve_batch_indexed) — same final
+    tables, per-batch cost bounded by the delta instead of the corpus.
     """
     pages = stream_pages(spark, pages_path, max_files_per_trigger)
     return _run_stream(
@@ -266,6 +483,8 @@ def run_incremental_er(
         available_now,
         timeout_s,
         stable_ids=stable_ids,
+        indexed=indexed,
+        n_buckets=n_buckets,
     )
 
 
@@ -279,6 +498,8 @@ def run_incremental_er_offers(
     available_now: bool = True,
     timeout_s: int = 900,
     stable_ids: bool = False,
+    indexed: bool = False,
+    n_buckets: int = 16,
 ) -> dict:
     """Same incremental ER over a landing directory of ALREADY-EXTRACTED
     offers (OFFER_SCHEMA parquet drops) — the entry point for corpora that
@@ -298,4 +519,6 @@ def run_incremental_er_offers(
         available_now,
         timeout_s,
         stable_ids=stable_ids,
+        indexed=indexed,
+        n_buckets=n_buckets,
     )
