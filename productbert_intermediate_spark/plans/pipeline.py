@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +51,7 @@ def run_pipeline(
     force: bool = False,
     offers_buckets: int | None = 0,
     salt_hot_ids: tuple[int, int] | None = None,
+    stabilize_against: str | None = None,
 ) -> dict:
     """Execute (or resume) the full pipeline; returns a run report dict.
 
@@ -80,6 +82,19 @@ def run_pipeline(
     carry millions of pairs. The salted plan is row-identical to the
     plain one (tests/test_skew.py), so it deliberately does NOT enter the
     stage params_key: flipping it never invalidates a checkpoint.
+
+    ``stabilize_against=<previous workdir>`` re-keys this run's entity ids
+    against that run's final assignment (operators/entity_ids.
+    stabilize_entity_ids): every entity whose membership survives keeps
+    its id, fresh ids start above the previous run's max. The stabilized
+    table checkpoints as stage ``entities_stable`` (and is what the
+    report's counts/evaluations see); inherited/fresh entity counts land
+    in ``report["stabilize"]``. Pass the PREVIOUS run's workdir — its
+    ``entities_stable`` (if it has one — chaining runs) or ``entities``
+    stage is the anchor. Re-running in place (``stabilize_against ==
+    workdir``, typically with ``force=True`` after the corpus grew) is
+    supported: the previous assignment is snapshotted to stage
+    ``entities_prev`` before any stage rebuild can overwrite it.
     """
     weights = weights or S.DEFAULT_WEIGHTS
     bp = {
@@ -92,6 +107,43 @@ def run_pipeline(
     }
     cat = StageCatalog(spark, workdir)
     report: dict = {"stages": {}}
+
+    prev_entities: DataFrame | None = None
+    k_anchor: str | None = None
+    if stabilize_against is not None:
+        prev_cat = StageCatalog(spark, stabilize_against)
+        prev_stage = next(
+            (s for s in ("entities_stable", "entities") if prev_cat.exists(s)),
+            None,
+        )
+        if prev_stage is None:
+            raise ValueError(
+                f"stabilize_against={stabilize_against!r} has no entities "
+                "stage to anchor ids to (expected entities_stable or "
+                "entities under that workdir)"
+            )
+        # the anchor's manifest entry identifies WHICH assignment we key
+        # against — without it, a later run with a changed anchor would
+        # resume a stale entities_stable checkpoint
+        k_anchor = _params_key(
+            anchor=stabilize_against,
+            stage=prev_stage,
+            entry=prev_cat.latest_entry(prev_stage),
+        )
+        prev_entities = prev_cat.read(prev_stage).select("id", "entity_id")
+        if os.path.realpath(stabilize_against) == os.path.realpath(workdir):
+            # In-place re-run: the stage rebuilds below overwrite the very
+            # files prev_entities reads, so snapshot the previous assignment
+            # to its own stage FIRST. The snapshot only READS the entities
+            # stage — a crash mid-snapshot leaves it intact, and the
+            # catalog's data→token→manifest commit order keeps a partial
+            # entities_prev invisible to exists().
+            cat.write(
+                "entities_prev",
+                prev_entities,
+                params_key=_params_key(anchor=prev_stage),
+            )
+            prev_entities = cat.read("entities_prev").select("id", "entity_id")
 
     k_offers = _params_key(src=pages_path)
     # The offers checkpoint is re-joined on `id` by every downstream stage
@@ -194,6 +246,36 @@ def run_pipeline(
     )
     report["stages"]["entities"] = {"resumed": resumed}
 
+    if prev_entities is not None:
+        from ..operators.entity_ids import stabilize_entity_ids
+
+        raw_entities = entities
+        k_stab = _params_key(parent=k_ent, anchor=k_anchor)
+        entities, resumed = cat.write_or_resume(
+            "entities_stable",
+            lambda: stabilize_entity_ids(prev_entities, raw_entities),
+            params_key=k_stab,
+            force=force,
+        )
+        report["stages"]["entities_stable"] = {"resumed": resumed}
+        stab = entities.agg(
+            F.count_distinct(
+                F.when(F.col("inherited"), F.col("entity_id"))
+            ).alias("inherited_entities"),
+            F.count_distinct(
+                F.when(~F.col("inherited"), F.col("entity_id"))
+            ).alias("fresh_entities"),
+        ).collect()[0]
+        report["stabilize"] = {
+            "anchor": stabilize_against,
+            "inherited_entities": int(stab["inherited_entities"]),
+            "fresh_entities": int(stab["fresh_entities"]),
+        }
+        # downstream consumers (B-cubed, pairwise eval, counts) see the
+        # STABLE ids — relabel-invariant metrics are unchanged, but the
+        # report/metrics tables now key on ids that survive the next run
+        entities = entities.select("id", "entity_id")
+
     if truth_path:
         # Training-set construction (the reference's three-script stage):
         # needs ground-truth cluster ids, which live in the truth table —
@@ -271,11 +353,16 @@ def main() -> None:  # pragma: no cover - CLI entry
     p.add_argument("--labeled")
     p.add_argument("--scorer", choices=("logistic", "encoder"), default="logistic")
     p.add_argument("--force", action="store_true")
+    p.add_argument(
+        "--stabilize-against",
+        help="previous run's workdir: carry its entity ids forward",
+    )
     args = p.parse_args()
     spark = get_spark("er-pipeline")
     report = run_pipeline(
         spark, args.pages, args.workdir, labeled_path=args.labeled,
-        scorer=args.scorer, force=args.force
+        scorer=args.scorer, force=args.force,
+        stabilize_against=args.stabilize_against,
     )
     print(json.dumps(report, indent=2, default=str))
     spark.stop()

@@ -333,3 +333,116 @@ def test_stale_params_token_blocks_resume(spark, tmp_path_factory):
     # missing token (crash before token write) is equally not resumable
     os.remove(cat._params_token_path("s"))
     assert not cat.exists("s", "A")
+
+
+# ---------------------------------------------------------------- stable ids
+
+
+@pytest.fixture(scope="module")
+def stab_runs(spark, e2e_dir, tmp_path_factory):
+    """Run A on ~80% of the e2e corpus, then run B on the FULL corpus with
+    stabilize_against=A — the grown-corpus re-resolve the north rule's
+    continuity story needs. Same fixture underneath, so ids are consistent
+    and the delta genuinely extends A's clusters."""
+    base = tmp_path_factory.mktemp("stab")
+    small_pages = str(base / "pages_small")
+    (
+        spark.read.parquet(f"{e2e_dir}/pages.parquet")
+        .where(F.pmod(F.xxhash64("url"), F.lit(5)) != 0)
+        .write.parquet(small_pages)
+    )
+    wd_a = str(base / "run_a")
+    run_pipeline(spark, small_pages, wd_a)
+    wd_b = str(base / "run_b")
+    report = run_pipeline(
+        spark, f"{e2e_dir}/pages.parquet", wd_b, stabilize_against=wd_a
+    )
+    return small_pages, wd_a, wd_b, report
+
+
+def _members_by_entity(df):
+    rows = df.groupBy("entity_id").agg(
+        F.sort_array(F.collect_list("id")).alias("members")
+    ).collect()
+    return {r["entity_id"]: tuple(r["members"]) for r in rows}
+
+
+def test_stabilize_keeps_unsplit_entity_ids(spark, stab_runs):
+    """Every previous entity that is neither split nor merged by the grown
+    corpus keeps its entity_id in the stabilized assignment."""
+    _, wd_a, wd_b, report = stab_runs
+    prev = StageCatalog(spark, wd_a).read("entities")
+    stable = StageCatalog(spark, wd_b).read("entities_stable")
+    prev_members = _members_by_entity(prev)
+    prev_ids = {i for m in prev_members.values() for i in m}
+    new_members = _members_by_entity(stable.select("id", "entity_id"))
+
+    # map each new cluster to the prev entities it covers (via prev members)
+    id_to_prev = {
+        i: eid for eid, mem in prev_members.items() for i in mem
+    }
+    kept = checked = 0
+    for new_eid, mem in new_members.items():
+        prev_hit = {id_to_prev[i] for i in mem if i in id_to_prev}
+        if len(prev_hit) != 1:
+            continue  # merged several prev entities (or all-new cluster)
+        (p,) = prev_hit
+        if set(prev_members[p]) <= set(mem):
+            # p unsplit (fully inside this cluster) and unmerged
+            checked += 1
+            if new_eid == p:
+                kept += 1
+    assert checked > 0  # the corpus must actually exercise the rule
+    assert kept == checked, f"only {kept}/{checked} unsplit entities kept ids"
+
+    # fresh ids live strictly above every previous id
+    max_prev = max(prev_members)
+    fresh = [r["entity_id"] for r in stable.where(~F.col("inherited"))
+             .select("entity_id").distinct().collect()]
+    assert all(f > max_prev for f in fresh)
+
+    # report bookkeeping adds up
+    stab = report["stabilize"]
+    n_entities = stable.select("entity_id").distinct().count()
+    assert stab["inherited_entities"] + stab["fresh_entities"] == n_entities
+    assert stab["inherited_entities"] > 0
+    assert report["counts"]["entities"] == n_entities
+
+
+def test_stabilize_in_place_rerun_snapshots_prev(spark, e2e_dir, stab_runs):
+    """stabilize_against == workdir (re-resolving a grown corpus in place):
+    the previous assignment must be snapshotted (entities_prev) before the
+    stage rebuild overwrites it, and ids still carry over."""
+    import shutil as _sh
+
+    small_pages, wd_a, _, _ = stab_runs
+    wd = wd_a + "_inplace"
+    _sh.copytree(wd_a, wd)
+    prev_members = _members_by_entity(StageCatalog(spark, wd).read("entities"))
+    report = run_pipeline(
+        spark, f"{e2e_dir}/pages.parquet", wd, stabilize_against=wd
+    )
+    cat = StageCatalog(spark, wd)
+    assert cat.exists("entities_prev")
+    stable = cat.read("entities_stable")
+    inherited_ids = {
+        r["entity_id"]
+        for r in stable.where("inherited").select("entity_id").distinct().collect()
+    }
+    assert inherited_ids <= set(prev_members)
+    assert report["stabilize"]["inherited_entities"] == len(inherited_ids)
+    # a second in-place pass (corpus unchanged) resumes and inherits
+    # EVERYTHING: stable output == its own anchor
+    report2 = run_pipeline(
+        spark, f"{e2e_dir}/pages.parquet", wd, stabilize_against=wd
+    )
+    assert report2["stabilize"]["fresh_entities"] == 0
+
+
+def test_stabilize_against_missing_stage_raises(spark, tmp_path_factory):
+    empty = str(tmp_path_factory.mktemp("no_run"))
+    with pytest.raises(ValueError, match="no entities stage"):
+        run_pipeline(
+            spark, empty, str(tmp_path_factory.mktemp("wd")),
+            stabilize_against=empty,
+        )
