@@ -2027,13 +2027,19 @@ def q_er_incremental_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly as q_er_score_pairs_jvm, is landed as THREE deterministic
     parquet drops and drained through the real Structured-Streaming
     machinery — file-source readStream, maxFilesPerTrigger=1, foreachBatch
-    incremental fold (append-only offer/score tables behind anti-joins,
-    valid edges = score cache ∩ current candidates), availableNow trigger,
-    per-batch re-cluster. The module's invariant is that the final entity
+    availableNow trigger — in ``indexed=True`` mode (round 5): per batch a
+    persistent (key, id) blocking index is extended, token-df deltas emit
+    or retract retroactive candidate pairs as df crosses min/max bounds,
+    only NEW pairs are scored (append-only cache behind anti-joins), and
+    new match edges merge into the committed component table via the
+    incremental closure (streaming/incremental_cc.py) — O(batch) work per
+    batch, not O(corpus). The module's invariant is that the final entity
     table equals the from-scratch batch closure, so the oracle is the SAME
     independent recursive-CTE min-label propagation that checks
     er_entities_jvm — one SQL text, two execution strategies (batch tail
-    and incremental stream) both held to it."""
+    and incremental indexed stream) both held to it; the foldback
+    (non-indexed) mode is held to the identical invariant in
+    tests/test_incremental_er.py."""
     import hashlib
     import os
     import shutil
@@ -2093,6 +2099,7 @@ def q_er_incremental_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_block_size": 5,
             "use_lsh": False,
         },
+        indexed=True,
     )
     return spark.read.parquet(os.path.join(root, "work", "entities"))
 
