@@ -52,10 +52,15 @@ module used to only name: a persistent (key, id) blocking index with
 token-df deltas and retroactive pairs (streaming/blocking_index.py) plus an
 incremental closure over delta-affected components only
 (streaming/incremental_cc.py), all on versioned snapshot state
-(streaming/state_store.py). Per-batch cost is bounded by the batch + the
-flipped-token fallout, measured ~flat under 10x corpus growth
-(test_indexed_per_batch_cost_flat_under_corpus_growth); the same pinned
-batch-equivalence invariant holds in both modes.
+(streaming/state_store.py). Round 5 also moved the last two per-batch
+corpus touches into that state: scoring hydrates from an id-bucketed
+``offers`` table pruned to the add pairs' ids, and the score cache is a
+pair-hash-bucketed table probed only at the add pairs' buckets — no step
+of an indexed batch scans the accumulated corpus or cache. Per-batch cost
+is bounded by the batch + the flipped-token fallout, measured ~flat under
+corpus growth (test_indexed_per_batch_cost_flat_under_corpus_growth and
+scripts/incremental_er_bench.py); the same pinned batch-equivalence
+invariant holds in both modes.
 """
 
 from __future__ import annotations
@@ -150,6 +155,19 @@ SCH_MATCH_EDGES = (
     "id_l long, id_r long, logit double, score double, match boolean,"
     " bucket int"
 )
+# the score cache shares the edge shape; bucketed by pair hash so per-batch
+# probes prune to the add pairs' buckets instead of scanning the cache
+SCH_SCORE_CACHE = SCH_MATCH_EDGES
+
+
+def _offers_state_schema(batch: DataFrame) -> str:
+    """DDL for the id-bucketed offers state table: the batch's own schema
+    (sources differ — the streamed extractor has url and no cluster_id,
+    synthetic corpora the reverse) plus the bucket partition column."""
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in batch.schema.fields
+    )
+    return cols + ", bucket int"
 
 
 def _pair_bucket(n_buckets: int):
@@ -222,7 +240,6 @@ def resolve_batch_indexed(
     if batch_id is not None and state.last_batch_id() == batch_id:
         return  # replay of a committed batch — already folded in
     offers_dir = os.path.join(workdir, "offers")
-    cache_dir = os.path.join(workdir, "score_cache")
     params = BlockingParams(**(blocking_params or {}))
 
     batch = batch_offers.where(F.col("id").isNotNull())
@@ -246,6 +263,20 @@ def resolve_batch_indexed(
     delta = apply_batch(state, batch_new, params)
     pb = _pair_bucket(n_buckets)
 
+    # offers also live in the state, id-bucketed: the scoring hydration
+    # below (and every later batch's) reads them BUCKET-PRUNED instead of
+    # scanning the accumulated offers dir — the dir stays as the flat
+    # user-facing corpus table, written once per batch, read by nothing
+    # per-batch
+    from .state_store import bucket_of
+
+    offer_cols = list(batch_new.columns)
+    sch_offers = _offers_state_schema(batch_new)
+    state.append(
+        "offers",
+        batch_new.withColumn("bucket", bucket_of(F.col("id"), n_buckets)),
+    )
+
     # candidate adds not already in the set (== in match_edges); both probes
     # broadcast the SMALL delta over bucket-pruned reads — map-only
     me = state.read("match_edges", SCH_MATCH_EDGES)
@@ -260,24 +291,53 @@ def resolve_batch_indexed(
     adds = raw_adds.join(F.broadcast(already), ["id_l", "id_r"], "left_anti")
     adds = adds.localCheckpoint(eager=True)
 
-    # score only never-scored pairs; cached scores are reused verbatim
-    offers_all = spark.read.parquet(offers_dir)
-    if _has_data(cache_dir):
-        cache = spark.read.parquet(cache_dir)
-        to_score = adds.join(
-            cache.select("id_l", "id_r"), ["id_l", "id_r"], "left_anti"
+    # score only never-scored pairs; cached scores are reused verbatim.
+    # Both remaining per-batch data touches are bucket-pruned (round 5):
+    # the cache probe reads only the add pairs' buckets, and hydration
+    # reads only the offers the add pairs reference — nothing here scans
+    # the accumulated corpus or cache (sound because the pair score is a
+    # pure function of the two offers; n_offers pins the one corpus-sized
+    # input a feature could take)
+    sc_cur = state.read("score_cache", SCH_SCORE_CACHE)
+    cache_pruned = (
+        sc_cur.where(F.col("bucket").isin(add_buckets))
+        if add_buckets
+        else sc_cur.limit(0)
+    )
+    to_score = adds.join(
+        cache_pruned.select("id_l", "id_r"), ["id_l", "id_r"], "left_anti"
+    )
+    pair_ids = (
+        adds.select(F.col("id_l").alias("id"))
+        .unionByName(adds.select(F.col("id_r").alias("id")))
+        .distinct()
+    )
+    offers_scope = (
+        state.lookup("offers", sch_offers, "id", pair_ids)
+        .drop("bucket")
+        .unionByName(
+            # this batch's offers sit in the in-progress version, not the
+            # committed one the lookup reads — union them in directly
+            batch_new.join(F.broadcast(pair_ids), "id", "left_semi").select(
+                *offer_cols
+            )
         )
-    else:
-        cache = None
-        to_score = adds
+    )
     scored_new = S.score_candidates(
-        to_score, offers_all, weights=weights, n_offers=delta["n_offers"]
+        to_score, offers_scope, weights=weights, n_offers=delta["n_offers"]
     ).select(*EDGE_COLS)
-    scored_new.write.mode("append").parquet(cache_dir)
-    cache_all = spark.read.parquet(cache_dir)
-    add_rows = cache_all.join(
-        F.broadcast(adds), ["id_l", "id_r"], "left_semi"
-    ).localCheckpoint(eager=True)
+    state.append("score_cache", scored_new.withColumn("bucket", pb))
+    cache_next = state.read_next("score_cache", SCH_SCORE_CACHE)
+    add_rows = (
+        (
+            cache_next.where(F.col("bucket").isin(add_buckets))
+            if add_buckets
+            else cache_next.limit(0)
+        )
+        .join(F.broadcast(adds), ["id_l", "id_r"], "left_semi")
+        .select(*EDGE_COLS)
+        .localCheckpoint(eager=True)
+    )
 
     # removals leave match_edges; their stored rows carry the match flag
     removals = delta["pair_removals"].localCheckpoint(eager=True)
@@ -354,6 +414,16 @@ def read_match_edges_indexed(
 
     state = VersionedState(spark, os.path.join(workdir, "index"), n_buckets)
     return state.read("match_edges", SCH_MATCH_EDGES).select(*EDGE_COLS)
+
+
+def read_score_cache_indexed(
+    spark: SparkSession, workdir: str, n_buckets: int = 16
+) -> DataFrame:
+    """The committed score-cache table (EDGE_COLS) of an indexed workdir."""
+    from .state_store import VersionedState
+
+    state = VersionedState(spark, os.path.join(workdir, "index"), n_buckets)
+    return state.read("score_cache", SCH_SCORE_CACHE).select(*EDGE_COLS)
 
 
 def _run_stream(
@@ -433,7 +503,11 @@ def _run_stream(
     return {
         "micro_batches": n_batches,
         "offers": spark.read.parquet(offers_dir).count(),
-        "scored_pairs_cached": spark.read.parquet(cache_dir).count(),
+        "scored_pairs_cached": (
+            read_score_cache_indexed(spark, workdir, n_buckets)
+            if indexed
+            else spark.read.parquet(cache_dir)
+        ).count(),
         "valid_pairs": edges.count(),
         "match_edges": edges.where("match").count(),
         "entities": spark.read.parquet(entities_dir)

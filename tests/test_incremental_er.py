@@ -257,6 +257,7 @@ def test_stable_ids_survive_micro_batches(spark, e2e_dir, tmp_path_factory):
 from productbert_intermediate_spark.streaming.incremental_er import (  # noqa: E402
     read_entities_indexed,
     read_match_edges_indexed,
+    read_score_cache_indexed,
     resolve_batch_indexed,
 )
 
@@ -288,8 +289,9 @@ def test_indexed_edges_and_entities_equal_batch_run(spark, incr_idx_run):
     assert sorted(
         map(tuple, spark.read.parquet(f"{workdir}/entities").collect())
     ) == sorted(map(tuple, ents.collect()))
-    # the cache never scored one pair twice
-    cache = spark.read.parquet(f"{workdir}/score_cache")
+    # the cache never scored one pair twice (round 5: the indexed cache
+    # lives in the versioned state, bucketed by pair hash)
+    cache = read_score_cache_indexed(spark, workdir)
     assert cache.count() == cache.select("id_l", "id_r").distinct().count()
 
 
@@ -306,13 +308,13 @@ def test_indexed_catchup_rerun_converges(spark, incr_idx_run):
     seen.coalesce(1).write.mode("overwrite").parquet(stage)
     src = next(p for p in sorted(os.listdir(stage)) if p.endswith(".parquet"))
     shutil.move(os.path.join(stage, src), os.path.join(landing, "drop-9998.parquet"))
-    before_cache = spark.read.parquet(f"{workdir}/score_cache").count()
+    before_cache = read_score_cache_indexed(spark, workdir).count()
     report = run_incremental_er(spark, landing, workdir, indexed=True)
     assert report["micro_batches"] == 1, report
     assert report["offers"] == first["offers"]
     assert report["valid_pairs"] == first["valid_pairs"]
     assert report["entities"] == first["entities"]
-    assert spark.read.parquet(f"{workdir}/score_cache").count() == before_cache
+    assert read_score_cache_indexed(spark, workdir).count() == before_cache
 
 
 def test_indexed_threshold_drift_retracts_stale_edges(spark, tmp_path_factory):
@@ -359,7 +361,7 @@ def test_indexed_threshold_drift_retracts_stale_edges(spark, tmp_path_factory):
     resolve_batch_indexed(spark, b2, wd, batch_id=1, blocking_params=bp)
     edges2 = read_match_edges_indexed(spark, wd)
     assert edges2.where("id_l = 1 and id_r = 2").count() == 0
-    cache = spark.read.parquet(f"{wd}/score_cache")
+    cache = read_score_cache_indexed(spark, wd)
     assert cache.where("id_l = 1 and id_r = 2").count() == 1
     offers_all = spark.read.parquet(f"{wd}/offers")
     batch_scored = S.score_candidates(
@@ -426,11 +428,15 @@ def test_indexed_per_batch_cost_flat_under_corpus_growth(
 
     def offers_range(lo, hi):
         # pair i with i^1 via a shared rare token; common filler tokens keep
-        # df stats realistic without creating giant blocks
+        # df stats realistic without creating giant blocks. The category MUST
+        # be shared by both pair members (floor(id/2), not id): df pruning is
+        # per-category, so a rare token split across two categories has
+        # within-group df=1 and is pruned — the original id%7 shape produced
+        # ZERO candidate pairs, making the invariant check trivially [] == []
         return spark.range(lo, hi).selectExpr(
             "id",
             "cast(null as long) as cluster_id",
-            "concat('cat', id % 7) as category",
+            "concat('cat', floor(id / 2) % 7) as category",
             "concat('item pair', cast(floor(id / 2) as string),"
             " ' common', cast(id % 23 as string)) as title",
             "cast(null as string) as description",
@@ -454,10 +460,12 @@ def test_indexed_per_batch_cost_flat_under_corpus_growth(
     fold(12000, 21800)  # grow ~10x total
     t_large = min(fold(21800, 21900), fold(21900, 22000))
     assert t_large <= 3.0 * t_small, (t_small, t_large)
-    # and the state is still exact at the grown corpus
+    # and the state is still exact at the grown corpus — and NON-EMPTY, so
+    # the equivalence cannot degenerate to [] == [] (the pre-fix generator
+    # produced zero candidates and this check proved nothing)
     offers_all = spark.read.parquet(f"{wd}/offers")
     ref_pairs = B.block_offers(offers_all)
     got_pairs = read_match_edges_indexed(spark, wd).select("id_l", "id_r")
-    assert sorted(map(tuple, got_pairs.collect())) == sorted(
-        map(tuple, ref_pairs.collect())
-    )
+    ref_sorted = sorted(map(tuple, ref_pairs.collect()))
+    assert len(ref_sorted) > 0
+    assert sorted(map(tuple, got_pairs.collect())) == ref_sorted
