@@ -444,11 +444,12 @@ def score_candidates_with_encoder(
         from .skew import salted_repartition_pairs
 
         n_salts, hot_threshold = salt_hot_ids
-        # level the SOURCE by pair hash first (a hot id's pairs land one
-        # shuffle partition otherwise) — same move as the logistic path
-        pairs = salted_repartition_pairs(
-            pairs, pairs.sparkSession.sparkContext.defaultParallelism * 2
-        )
+        # NO source re-level here (unlike the logistic path, which feeds an
+        # id_l-partitioned feature builder): the salted hydration join's own
+        # (id, salt) shuffle is the first thing pairs hit, and it spreads a
+        # hot id by construction — a pre-shuffle would move the full pair
+        # table once more for a layout the join immediately destroys
+        # (measured: dropping it cut one of three exchanges on this path)
         hydrated = hydrate_pairs_salted(
             pairs, offers_tok, n_salts=n_salts, hot_threshold=hot_threshold,
             prepared=True, attrs=(), prepared_cols=("_tok",),
