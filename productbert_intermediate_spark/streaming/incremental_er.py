@@ -211,6 +211,7 @@ def resolve_batch_indexed(
     blocking_params: dict | None = None,
     n_buckets: int = 16,
     stable_ids: bool = False,
+    compact_max_files: int = 8,
 ) -> None:
     """One incremental ER step at O(batch) cost: the blocking-index upgrade
     of :func:`resolve_batch_increment` (VERDICT r4 #3).
@@ -382,6 +383,10 @@ def resolve_batch_indexed(
             _next_entities(spark, state),
             os.path.join(workdir, "stable_entities"),
         )
+    # bin-pack any bucket that accumulated more than compact_max_files
+    # small files (append() adds one file set per batch): keeps per-bucket
+    # read cost O(1) across micro-batches instead of O(#batches)
+    state.compact_all(compact_max_files)
     state.commit(batch_id)
 
 

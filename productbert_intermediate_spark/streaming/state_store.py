@@ -216,6 +216,66 @@ class VersionedState:
                 F.col("bucket").isin(list(touched_set))
             ).write.mode("append").partitionBy("bucket").parquet(nxt)
 
+    def compact(self, table: str, max_files_per_bucket: int = 8) -> list[int]:
+        """Bin-pack oversized buckets of the IN-PROGRESS version of a table.
+
+        ``append()`` adds one file set per batch per touched bucket, and
+        hard-link carryover preserves them all — after B batches an
+        append-only table's bucket holds O(B) small files, and every
+        bucket-pruned read pays O(files) open/footer costs. This rewrites
+        each bucket whose file count exceeds ``max_files_per_bucket`` into
+        ONE file (row-set identical), the analog of Iceberg's bin-packing
+        compaction; untouched buckets keep their hard links. Call between
+        the table's writes and ``commit()`` — a crash mid-compaction only
+        loses the in-progress version, which ``begin()`` rebuilds on replay.
+        Returns the compacted bucket ids."""
+        nxt = self._next_table(table)
+        if not os.path.isdir(nxt):
+            return []
+        over = []
+        for name in os.listdir(nxt):
+            if not name.startswith("bucket="):
+                continue
+            n_files = sum(
+                1
+                for f in os.listdir(os.path.join(nxt, name))
+                if not f.startswith(("_", "."))
+            )
+            if n_files > max_files_per_bucket:
+                over.append(int(name.split("=", 1)[1]))
+        if not over:
+            return []
+        # one shuffle partition per oversized bucket → exactly one output
+        # file per bucket; only the oversized buckets are read or written
+        packed = (
+            self.spark.read.parquet(nxt)
+            .where(F.col("bucket").isin(over))
+            .repartition(len(over), "bucket")
+        )
+        tmp = nxt + ".compacting"
+        shutil.rmtree(tmp, ignore_errors=True)
+        packed.write.partitionBy("bucket").parquet(tmp)
+        for b in over:
+            dst = os.path.join(nxt, f"bucket={b}")
+            src = os.path.join(tmp, f"bucket={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            os.rename(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return over
+
+    def compact_all(self, max_files_per_bucket: int = 8) -> dict:
+        """Run :meth:`compact` over every table of the in-progress version;
+        returns {table: [compacted buckets]} for the tables that needed it."""
+        assert self._next is not None, "compact_all without begin()"
+        vdir = os.path.join(self.root, f"v{self._next}")
+        out = {}
+        for t in sorted(os.listdir(vdir)):
+            if os.path.isdir(os.path.join(vdir, t)):
+                got = self.compact(t, max_files_per_bucket)
+                if got:
+                    out[t] = got
+        return out
+
     def read_next(self, table: str, schema: str) -> DataFrame:
         """Read a table already written in the IN-PROGRESS version (for
         steps that consume an earlier step's output within one batch)."""
