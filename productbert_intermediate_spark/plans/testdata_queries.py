@@ -2021,6 +2021,21 @@ from feat2
 SQL_ER_SCORE_PAIRS_JVM = _jvm_scorer_oracle_sql()
 
 
+def incr_er_scratch_root(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch root for q_er_incremental_entities, keyed by
+    (sf_dir, applicationId) so a concurrent pytest run and driver run on
+    the same sf_dir can't clobber each other's landing + stream
+    checkpoints mid-run (VERDICT r4 #7); the query's rmtree-on-entry then
+    only ever clears ITS OWN session's previous attempt. Exposed as a
+    function so the isolation test can assert two sessions derive
+    disjoint roots."""
+    import hashlib
+
+    app = spark.sparkContext.applicationId
+    tag = hashlib.md5(f"{sf_dir}\x00{app}".encode()).hexdigest()[:8]
+    return f"/tmp/spark_graft_incr_er_{tag}"
+
+
 def q_er_incremental_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ER (streaming/incremental_er.py) under the driver's hard
     signal: the documents corpus, ASCII-scoped and projected to offers
@@ -2040,7 +2055,6 @@ def q_er_incremental_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     and incremental indexed stream) both held to it; the foldback
     (non-indexed) mode is held to the identical invariant in
     tests/test_incremental_er.py."""
-    import hashlib
     import os
     import shutil
     import time
@@ -2062,13 +2076,7 @@ def q_er_incremental_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("specTableContent"),
     )
 
-    # keyed by (sf_dir, applicationId) so a concurrent pytest run and
-    # driver run on the same sf_dir can't clobber each other's landing +
-    # stream checkpoints mid-run (VERDICT r4 #7); the rmtree below then
-    # only ever clears THIS session's previous attempt
-    app = spark.sparkContext.applicationId
-    tag = hashlib.md5(f"{sf_dir}\x00{app}".encode()).hexdigest()[:8]
-    root = f"/tmp/spark_graft_incr_er_{tag}"
+    root = incr_er_scratch_root(spark, sf_dir)
     # fresh landing + state per run: re-execution must re-derive everything
     shutil.rmtree(root, ignore_errors=True)
     landing = os.path.join(root, "landing")

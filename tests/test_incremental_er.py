@@ -411,6 +411,84 @@ def test_indexed_replay_guard_skips_committed_batch(spark, tmp_path_factory):
     )
 
 
+def test_indexed_uncommitted_crash_replay_rederives(spark, tmp_path_factory):
+    """The other half of the crash story (resolve_batch_indexed docstring):
+    a crash AFTER the offers-dir append and a partial next-version state
+    write but BEFORE the pointer commit leaves CURRENT on the previous
+    snapshot; foreachBatch then replays the batch (same rows, same
+    batch_id) and must land exactly the state a crash-free run produces —
+    no duplicate offers, no double-scored pairs, same edges and entities.
+    (test_indexed_replay_guard_skips_committed_batch covers the committed
+    side of the same story.)"""
+    from productbert_intermediate_spark.streaming.state_store import (
+        VersionedState,
+        bucket_of,
+    )
+
+    root = str(tmp_path_factory.mktemp("incr_crash_idx"))
+    wd, wd_ref = f"{root}/work", f"{root}/ref"
+    schema = (
+        "id long, cluster_id long, category string, title string,"
+        " description string, brand string, price string,"
+        " specTableContent string"
+    )
+
+    def offer(i, title):
+        return (i, None, "cat", title, None, None, None, None)
+
+    b1 = spark.createDataFrame(
+        [
+            offer(1, "widget omega red"),
+            offer(2, "widget omega blue"),
+            offer(10, "quartz filler ten"),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            offer(3, "widget omega green"),
+            offer(11, "garnet filler eleven"),
+        ],
+        schema,
+    )
+
+    # crash-free reference run
+    resolve_batch_indexed(spark, b1, wd_ref, batch_id=0)
+    resolve_batch_indexed(spark, b2, wd_ref, batch_id=1)
+
+    # crashy run: batch 0 commits; batch 1's attempt tears mid-write —
+    # the offers-dir append landed AND an in-progress version holds a
+    # partial state write, but CURRENT still points at batch 0
+    resolve_batch_indexed(spark, b1, wd, batch_id=0)
+    b2.write.mode("append").parquet(f"{wd}/offers")
+    torn = VersionedState(spark, os.path.join(wd, "index"))
+    assert torn.last_batch_id() == 0
+    torn.begin()
+    torn.append("offers", b2.withColumn("bucket", bucket_of(F.col("id"), 16)))
+    # no commit() — crash here; the next attempt must rmtree the torn
+    # version (begin()) and anti-join away the already-appended offers
+
+    resolve_batch_indexed(spark, b2, wd, batch_id=1)  # foreachBatch replay
+
+    state = VersionedState(spark, os.path.join(wd, "index"))
+    assert state.last_batch_id() == 1
+    offers_all = spark.read.parquet(f"{wd}/offers")
+    assert offers_all.count() == offers_all.select("id").distinct().count() == 5
+    for reader in (read_match_edges_indexed, read_entities_indexed):
+        rows = sorted(map(tuple, reader(spark, wd).collect()))
+        assert len(rows) > 0, reader.__name__  # non-degenerate comparison
+        assert rows == sorted(
+            map(tuple, reader(spark, wd_ref).collect())
+        ), reader.__name__
+    cache = read_score_cache_indexed(spark, wd)
+    assert cache.count() == cache.select("id_l", "id_r").distinct().count()
+    assert sorted(
+        map(tuple, cache.select(*EDGE_COLS).collect())
+    ) == sorted(
+        map(tuple, read_score_cache_indexed(spark, wd_ref).select(*EDGE_COLS).collect())
+    )
+
+
 def test_indexed_per_batch_cost_flat_under_corpus_growth(
     spark, tmp_path_factory
 ):
@@ -469,3 +547,66 @@ def test_indexed_per_batch_cost_flat_under_corpus_growth(
     ref_sorted = sorted(map(tuple, ref_pairs.collect()))
     assert len(ref_sorted) > 0
     assert sorted(map(tuple, got_pairs.collect())) == ref_sorted
+
+
+def test_concurrent_sessions_use_disjoint_scratch_and_agree(spark, tmp_path):
+    """VERDICT r4 #7 "Done =": two interleaved invocations of the
+    er_incremental_entities registry query on the SAME sf_dir — one in this
+    session, one in a concurrently-running second SparkSession (separate
+    process, like the driver running beside pytest) — both complete and
+    produce identical entity tables. The scratch root is keyed by
+    (sf_dir, applicationId) (incr_er_scratch_root), so the second entrant's
+    rmtree-on-entry clears its OWN root, never the in-flight session's
+    landing + streaming checkpoint; with the old md5(sf_dir)-only key the
+    interleave below would clobber the worker's state mid-run."""
+    import json
+    import subprocess
+    import sys
+    import time
+
+    from productbert_intermediate_spark.plans.testdata_queries import (
+        incr_er_scratch_root,
+        q_er_incremental_entities,
+    )
+    from tests.conftest import TESTDATA_SF_DIR
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = tmp_path / "other_session.json"
+    started = tmp_path / "other_session.root"
+    script = tmp_path / "worker.py"
+    script.write_text(
+        f"""
+import json, sys
+sys.path.insert(0, {repo!r})
+from productbert_intermediate_spark.session import get_spark
+from productbert_intermediate_spark.plans.testdata_queries import (
+    incr_er_scratch_root, q_er_incremental_entities)
+spark = get_spark("incr-er-concurrent", cores=4, shuffle_partitions=4)
+root = incr_er_scratch_root(spark, {TESTDATA_SF_DIR!r})
+open({str(started)!r}, "w").write(root)
+df = q_er_incremental_entities(spark, {TESTDATA_SF_DIR!r})
+rows = sorted(map(list, df.collect()))
+json.dump({{"root": root, "rows": rows}}, open({str(out)!r}, "w"))
+spark.stop()
+"""
+    )
+    proc = subprocess.Popen([sys.executable, str(script)], cwd=repo)
+    try:
+        deadline = time.time() + 240
+        while not started.exists():
+            assert proc.poll() is None, "second session died before starting"
+            assert time.time() < deadline, "second session never started"
+            time.sleep(0.5)
+        # The other session is now between root derivation and its drain —
+        # run the SAME query on the SAME sf_dir in THIS session, interleaved.
+        mine = sorted(
+            map(list, q_er_incremental_entities(spark, TESTDATA_SF_DIR).collect())
+        )
+        assert proc.wait(timeout=600) == 0
+    finally:
+        if proc.poll() is None:  # pragma: no cover - cleanup on failure only
+            proc.kill()
+    other = json.loads(out.read_text())
+    assert other["root"] != incr_er_scratch_root(spark, TESTDATA_SF_DIR)
+    assert len(mine) > 0
+    assert mine == [list(map(int, r)) for r in other["rows"]]
