@@ -271,6 +271,25 @@ def run_pipeline(
             "inherited_entities": int(stab["inherited_entities"]),
             "fresh_entities": int(stab["fresh_entities"]),
         }
+        # the per-entity delta feed (operators/entity_diff.py): what a
+        # downstream consumer applies instead of re-reading the full entity
+        # table — checkpointed like any stage, sized by the change set
+        from ..operators.entity_diff import entity_changelog
+
+        stable_view = entities.select("id", "entity_id")
+        changelog, resumed = cat.write_or_resume(
+            "entity_changelog",
+            lambda: entity_changelog(prev_entities, stable_view),
+            params_key=k_stab,
+            force=force,
+        )
+        report["stages"]["entity_changelog"] = {"resumed": resumed}
+        report["stabilize"]["changelog"] = {
+            r["change"]: int(r["n"])
+            for r in changelog.groupBy("change")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
         # downstream consumers (B-cubed, pairwise eval, counts) see the
         # STABLE ids — relabel-invariant metrics are unchanged, but the
         # report/metrics tables now key on ids that survive the next run

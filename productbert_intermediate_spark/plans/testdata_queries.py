@@ -2693,6 +2693,72 @@ from counts
 
 
 # --------------------------------------------------------------------------
+# entity changelog (operators/entity_diff.py): two resolved snapshots →
+# one row per entity whose membership changed. Snapshots are derived
+# arithmetically from orders so every change class except `dissolved`
+# appears at sf0.01 (dissolution needs an entity losing ALL members —
+# covered by tests/test_entity_diff.py) and the oracle can rebuild the
+# identical ledger in pure SQL.
+
+
+def q_entity_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.entity_diff import entity_changelog
+
+    o = _t(spark, sf_dir, "orders")
+    prev = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").cast("long").alias("entity_id"),
+    )
+    new = o.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_custkey") + 1000000
+        )
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("entity_id"),
+    )
+    return entity_changelog(prev, new)
+
+
+SQL_ENTITY_CHANGELOG = """
+with prev as (
+  select o_orderkey as id, cast(o_custkey as bigint) as entity_id from orders
+), new as (
+  select o_orderkey as id,
+         cast(case when o_orderkey % 5 = 0 then o_custkey + 1000000
+                   else o_custkey end as bigint) as entity_id
+  from orders where o_orderkey % 7 <> 0
+), both_sides as (
+  select coalesce(p.id, n.id) as id, p.entity_id as pe, n.entity_id as ne
+  from prev p full outer join new n on p.id = n.id
+), ledger as (
+  select pe as entity_id, 1 as n_prev, 0 as n_new, 0 as added,
+         case when pe is not distinct from ne then 0 else 1 end as removed
+  from both_sides where pe is not null
+  union all
+  select ne, 0, 1,
+         case when pe is not distinct from ne then 0 else 1 end, 0
+  from both_sides where ne is not null
+), agg as (
+  select entity_id, cast(sum(n_prev) as bigint) as n_prev,
+         cast(sum(n_new) as bigint) as n_new,
+         cast(sum(added) as bigint) as added,
+         cast(sum(removed) as bigint) as removed
+  from ledger group by entity_id
+)
+select entity_id,
+       case when n_prev = 0 then 'created'
+            when n_new = 0 then 'dissolved'
+            when added > 0 and removed > 0 then 'reshaped'
+            when added > 0 then 'grew'
+            else 'shrank' end as change,
+       n_prev, n_new, added, removed
+from agg where added > 0 or removed > 0
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple] = {
@@ -2766,6 +2832,12 @@ REGISTRY: dict[str, tuple] = {
     "blocking_quality": (q_blocking_quality, _blocking_quality_sql()),
     "bcubed_cells": (q_bcubed_cells, SQL_BCUBED_CELLS),
     "stable_entity_ids": (q_stable_entity_ids, SQL_STABLE_ENTITY_IDS),
+    # entity changelog (round 5): the per-batch delta feed a consumer of a
+    # continuously-resolved corpus reads instead of the full entity table.
+    # Position 51 — just past the driver's 50-row window, which already
+    # holds one row per distinct capability; the pytest oracle suite
+    # hash-checks it every run (tests/test_driver_contract.py)
+    "entity_changelog": (q_entity_changelog, SQL_ENTITY_CHANGELOG),
     # oracles KEPT but outside the driver's 50-row window (still checked by
     # pytest's oracle suite every run, and by the driver if the window ever
     # widens): the rotated-out near-redundant rows above, then ann_topk —

@@ -90,10 +90,10 @@ def update_components(
     new_singletons = new_ids.join(
         stored_members.select("id"), "id", "left_anti"
     ).select("id", F.col("id").alias("label"))
-    members = _ckpt(
-        stored_members.unionByName(
-            new_singletons.join(affected_labels, "label", "left_semi")
-        )
+    # no eager cut: `members` feeds only sub_nodes below, whose own
+    # checkpoint materializes this whole subplan in the same driver job
+    members = stored_members.unionByName(
+        new_singletons.join(affected_labels, "label", "left_semi")
     )
 
     # the affected subgraph: its members (incl. delta endpoints first seen

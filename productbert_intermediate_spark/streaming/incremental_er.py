@@ -95,6 +95,8 @@ def resolve_batch_increment(
     weights: dict[str, float] | None = None,
     blocking_params: dict | None = None,
     stable_dir: str | None = None,
+    changelog_dir: str | None = None,
+    batch_id: int | None = None,
 ) -> None:
     """One incremental ER step: fold ``batch_offers`` into the accumulated
     tables. Plain batch function — ``foreachBatch`` calls it with each
@@ -148,6 +150,8 @@ def resolve_batch_increment(
             spark,
             spark.read.parquet(entities_dir).select("id", "entity_id"),
             stable_dir,
+            changelog_dir=changelog_dir,
+            batch_id=batch_id,
         )
 
 
@@ -158,6 +162,47 @@ SCH_MATCH_EDGES = (
 # the score cache shares the edge shape; bucketed by pair hash so per-batch
 # probes prune to the add pairs' buckets instead of scanning the cache
 SCH_SCORE_CACHE = SCH_MATCH_EDGES
+
+
+def _append_offers_idempotent(
+    spark, batch_new: DataFrame, offers_dir: str, batch_id: int | None
+) -> None:
+    """Append a batch to the flat offers corpus dir WITHOUT reading it.
+
+    The old guard anti-joined the batch against the accumulated dir's id
+    column — correct, but the one remaining per-batch corpus scan in the
+    indexed path. With a ``batch_id`` the append is made idempotent by
+    NAMING instead: files land as ``b{batch_id}-*.parquet`` via a staging
+    dir + metadata-only renames, and a foreachBatch replay first deletes
+    any files carrying its own prefix — a replayed batch can only replace
+    its own bytes, never double-append. Spark skips the dot-prefixed
+    staging dir on read, so a concurrent reader of the corpus never sees
+    a half-staged batch. Without a batch_id (direct calls outside a
+    stream) the scan-guarded append remains the correct fallback.
+    """
+    if batch_id is None:
+        to_append = batch_new
+        if _has_data(offers_dir):
+            existing = spark.read.parquet(offers_dir).select("id")
+            to_append = batch_new.join(existing, "id", "left_anti")
+        to_append.write.mode("append").parquet(offers_dir)
+        return
+    staging = os.path.join(offers_dir, f".staging-b{batch_id}")
+    batch_new.write.mode("overwrite").parquet(staging)
+    prefix = f"b{batch_id}-"
+    for name in os.listdir(offers_dir):
+        if name.startswith(prefix):
+            os.remove(os.path.join(offers_dir, name))
+    i = 0
+    for name in sorted(os.listdir(staging)):
+        if name.startswith(("_", ".")) or not name.endswith(".parquet"):
+            continue
+        os.rename(
+            os.path.join(staging, name),
+            os.path.join(offers_dir, f"{prefix}{i}.parquet"),
+        )
+        i += 1
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def _offers_state_schema(batch: DataFrame) -> str:
@@ -176,9 +221,25 @@ def _pair_bucket(n_buckets: int):
     return bucket_of(F.concat_ws("\x00", "id_l", "id_r"), n_buckets)
 
 
-def _stabilize_step(spark, new_ents: DataFrame, stable_dir: str) -> None:
+def _stabilize_step(
+    spark,
+    new_ents: DataFrame,
+    stable_dir: str,
+    changelog_dir: str | None = None,
+    batch_id: int | None = None,
+) -> None:
     """Maintain the stable_entities table against ``new_ents`` (id,
-    entity_id) with a write-then-rename swap (crash-safe, see ADVICE r4)."""
+    entity_id) with a write-then-rename swap (crash-safe, see ADVICE r4).
+
+    ``changelog_dir`` additionally appends this step's per-entity delta
+    (operators/entity_diff.entity_changelog, computed over the STABLE ids so
+    an entity_id means the same entity on both sides) as one ``batch=<id>``
+    partition — idempotent under foreachBatch replay: the partition path is
+    keyed by batch_id and overwritten whole. A replay that arrives AFTER the
+    stable swap landed recomputes an empty delta (prev == new by then); the
+    empty-delta guard below skips the overwrite so the real changelog
+    written just before the swap survives.
+    """
     from ..operators.entity_ids import stabilize_entity_ids
 
     old_dir = stable_dir + ".old"
@@ -188,11 +249,23 @@ def _stabilize_step(spark, new_ents: DataFrame, stable_dir: str) -> None:
         prev = spark.read.parquet(stable_dir).select("id", "entity_id")
         stable = stabilize_entity_ids(prev, new_ents)
     else:
+        prev = spark.createDataFrame([], "id long, entity_id long")
         stable = new_ents.select(
             "id", "entity_id", F.lit(False).alias("inherited")
         )
     tmp_dir = stable_dir + ".next"
     stable.write.mode("overwrite").parquet(tmp_dir)
+    if changelog_dir is not None:
+        from ..operators.entity_diff import entity_changelog
+
+        delta = entity_changelog(
+            prev, spark.read.parquet(tmp_dir).select("id", "entity_id")
+        )
+        part = os.path.join(
+            changelog_dir, f"batch={0 if batch_id is None else int(batch_id)}"
+        )
+        if not delta.isEmpty() or not os.path.isdir(part):
+            delta.write.mode("overwrite").parquet(part)
     if os.path.isdir(old_dir):
         shutil.rmtree(old_dir)
     if os.path.isdir(stable_dir):
@@ -211,6 +284,7 @@ def resolve_batch_indexed(
     blocking_params: dict | None = None,
     n_buckets: int = 16,
     stable_ids: bool = False,
+    changelog: bool = False,
     compact_max_files: int = 8,
 ) -> None:
     """One incremental ER step at O(batch) cost: the blocking-index upgrade
@@ -254,11 +328,7 @@ def resolve_batch_indexed(
         batch.select("id").distinct(),
     ).select("id")
     batch_new = batch.join(seen, "id", "left_anti").localCheckpoint(eager=True)
-    to_append = batch_new
-    if _has_data(offers_dir):
-        existing = spark.read.parquet(offers_dir).select("id")
-        to_append = batch_new.join(existing, "id", "left_anti")
-    to_append.write.mode("append").parquet(offers_dir)
+    _append_offers_idempotent(spark, batch_new, offers_dir, batch_id)
 
     state.begin()
     delta = apply_batch(state, batch_new, params)
@@ -285,85 +355,105 @@ def resolve_batch_indexed(
     add_buckets = [
         r["b"] for r in raw_adds.select(pb.alias("b")).distinct().collect()
     ]
-    me_add_pruned = me.where(F.col("bucket").isin(add_buckets)) if add_buckets else me.limit(0)
-    already = me_add_pruned.join(
-        F.broadcast(raw_adds), ["id_l", "id_r"], "left_semi"
-    ).select("id_l", "id_r").localCheckpoint(eager=True)
-    adds = raw_adds.join(F.broadcast(already), ["id_l", "id_r"], "left_anti")
-    adds = adds.localCheckpoint(eager=True)
+    if add_buckets:
+        already = (
+            me.where(F.col("bucket").isin(add_buckets))
+            .join(F.broadcast(raw_adds), ["id_l", "id_r"], "left_semi")
+            .select("id_l", "id_r")
+        )
+        # single checkpoint for the whole adds derivation (`already` feeds
+        # only this anti-join — a separate eager cut was one more job)
+        adds = raw_adds.join(
+            F.broadcast(already), ["id_l", "id_r"], "left_anti"
+        ).localCheckpoint(eager=True)
 
-    # score only never-scored pairs; cached scores are reused verbatim.
-    # Both remaining per-batch data touches are bucket-pruned (round 5):
-    # the cache probe reads only the add pairs' buckets, and hydration
-    # reads only the offers the add pairs reference — nothing here scans
-    # the accumulated corpus or cache (sound because the pair score is a
-    # pure function of the two offers; n_offers pins the one corpus-sized
-    # input a feature could take)
-    sc_cur = state.read("score_cache", SCH_SCORE_CACHE)
-    cache_pruned = (
-        sc_cur.where(F.col("bucket").isin(add_buckets))
-        if add_buckets
-        else sc_cur.limit(0)
-    )
-    to_score = adds.join(
-        cache_pruned.select("id_l", "id_r"), ["id_l", "id_r"], "left_anti"
-    )
-    pair_ids = (
-        adds.select(F.col("id_l").alias("id"))
-        .unionByName(adds.select(F.col("id_r").alias("id")))
-        .distinct()
-    )
-    offers_scope = (
-        state.lookup("offers", sch_offers, "id", pair_ids)
-        .drop("bucket")
-        .unionByName(
-            # this batch's offers sit in the in-progress version, not the
-            # committed one the lookup reads — union them in directly
-            batch_new.join(F.broadcast(pair_ids), "id", "left_semi").select(
-                *offer_cols
+        # score only never-scored pairs; cached scores are reused verbatim.
+        # Both remaining per-batch data touches are bucket-pruned (round
+        # 5): the cache probe reads only the add pairs' buckets, and
+        # hydration reads only the offers the add pairs reference — nothing
+        # here scans the accumulated corpus or cache (sound because the
+        # pair score is a pure function of the two offers; n_offers pins
+        # the one corpus-sized input a feature could take)
+        sc_cur = state.read("score_cache", SCH_SCORE_CACHE)
+        cache_pruned = sc_cur.where(F.col("bucket").isin(add_buckets))
+        to_score = adds.join(
+            cache_pruned.select("id_l", "id_r"), ["id_l", "id_r"], "left_anti"
+        )
+        pair_ids = (
+            adds.select(F.col("id_l").alias("id"))
+            .unionByName(adds.select(F.col("id_r").alias("id")))
+            .distinct()
+        )
+        offers_scope = (
+            state.lookup("offers", sch_offers, "id", pair_ids)
+            .drop("bucket")
+            .unionByName(
+                # this batch's offers sit in the in-progress version, not
+                # the committed one the lookup reads — union them in
+                batch_new.join(F.broadcast(pair_ids), "id", "left_semi")
+                .select(*offer_cols)
             )
         )
-    )
-    scored_new = S.score_candidates(
-        to_score, offers_scope, weights=weights, n_offers=delta["n_offers"]
-    ).select(*EDGE_COLS)
-    state.append("score_cache", scored_new.withColumn("bucket", pb))
-    cache_next = state.read_next("score_cache", SCH_SCORE_CACHE)
-    add_rows = (
-        (
+        scored_new = S.score_candidates(
+            to_score, offers_scope, weights=weights, n_offers=delta["n_offers"]
+        ).select(*EDGE_COLS)
+        state.append("score_cache", scored_new.withColumn("bucket", pb))
+        cache_next = state.read_next("score_cache", SCH_SCORE_CACHE)
+        add_rows = (
             cache_next.where(F.col("bucket").isin(add_buckets))
-            if add_buckets
-            else cache_next.limit(0)
+            .join(F.broadcast(adds), ["id_l", "id_r"], "left_semi")
+            .select(*EDGE_COLS)
+            .localCheckpoint(eager=True)
         )
-        .join(F.broadcast(adds), ["id_l", "id_r"], "left_semi")
-        .select(*EDGE_COLS)
-        .localCheckpoint(eager=True)
-    )
+    else:
+        # no candidate pair enters this batch (common on idle/duplicate
+        # drops): skip the scoring machinery's half-dozen empty-input jobs
+        # — just carry the cache forward unchanged
+        adds = raw_adds
+        state.carry("score_cache")
+        add_rows = spark.createDataFrame(
+            [],
+            "id_l long, id_r long, logit double, score double, match boolean",
+        )
 
     # removals leave match_edges; their stored rows carry the match flag
     removals = delta["pair_removals"].localCheckpoint(eager=True)
     rem_buckets = [
         r["b"] for r in removals.select(pb.alias("b")).distinct().collect()
     ]
-    me_rem_pruned = me.where(F.col("bucket").isin(rem_buckets)) if rem_buckets else me.limit(0)
-    rem_rows = me_rem_pruned.join(
-        F.broadcast(removals), ["id_l", "id_r"], "left_semi"
-    ).select(*EDGE_COLS).localCheckpoint(eager=True)
-
-    touched = sorted(
-        {int(b) for b in add_buckets} | {int(b) for b in rem_buckets}
-    )
-    keep = (
-        me.where(F.col("bucket").isin(touched))
-        .select(*EDGE_COLS)
-        .join(F.broadcast(removals), ["id_l", "id_r"], "left_anti")
-    )
-    state.rewrite_buckets(
-        "match_edges",
-        SCH_MATCH_EDGES,
-        keep.unionByName(add_rows).select(*EDGE_COLS, pb.alias("bucket")),
-        touched,
-    )
+    if rem_buckets:
+        me_rem_pruned = me.where(F.col("bucket").isin(rem_buckets))
+        rem_rows = me_rem_pruned.join(
+            F.broadcast(removals), ["id_l", "id_r"], "left_semi"
+        ).select(*EDGE_COLS).localCheckpoint(eager=True)
+        touched = sorted(
+            {int(b) for b in add_buckets} | {int(b) for b in rem_buckets}
+        )
+        keep = (
+            me.where(F.col("bucket").isin(touched))
+            .select(*EDGE_COLS)
+            .join(F.broadcast(removals), ["id_l", "id_r"], "left_anti")
+        )
+        state.rewrite_buckets(
+            "match_edges",
+            SCH_MATCH_EDGES,
+            keep.unionByName(add_rows).select(*EDGE_COLS, pb.alias("bucket")),
+            touched,
+        )
+    else:
+        # no pair leaves the set this batch — the common append-only case.
+        # `adds` is anti-joined against match_edges above, so appending
+        # add_rows is row-identical to the rewrite-union while skipping the
+        # touched-bucket read + reshuffle entirely (hard links + one small
+        # write instead)
+        rem_rows = spark.createDataFrame(
+            [], "id_l long, id_r long, logit double, score double, match boolean"
+        )
+        state.carry("match_edges")
+        if add_buckets:
+            state.append_rows_next(
+                "match_edges", add_rows.select(*EDGE_COLS, pb.alias("bucket"))
+            )
 
     cur_match = (
         state.read_next("match_edges", SCH_MATCH_EDGES)
@@ -382,6 +472,10 @@ def resolve_batch_indexed(
             spark,
             _next_entities(spark, state),
             os.path.join(workdir, "stable_entities"),
+            changelog_dir=(
+                os.path.join(workdir, "entity_changelog") if changelog else None
+            ),
+            batch_id=batch_id,
         )
     # bin-pack any bucket that accumulated more than compact_max_files
     # small files (append() adds one file set per batch): keeps per-bucket
@@ -442,6 +536,7 @@ def _run_stream(
     stable_ids: bool = False,
     indexed: bool = False,
     n_buckets: int = 16,
+    changelog: bool = False,
 ) -> dict:
     offers_dir = os.path.join(workdir, "offers")
     cache_dir = os.path.join(workdir, "score_cache")
@@ -461,6 +556,7 @@ def _run_stream(
                 blocking_params=blocking_params,
                 n_buckets=n_buckets,
                 stable_ids=stable_ids,
+                changelog=changelog,
             )
         else:
             resolve_batch_increment(
@@ -473,6 +569,12 @@ def _run_stream(
                 weights=weights,
                 blocking_params=blocking_params,
                 stable_dir=stable_dir,
+                changelog_dir=(
+                    os.path.join(workdir, "entity_changelog")
+                    if changelog and stable_ids
+                    else None
+                ),
+                batch_id=batch_id,
             )
 
     writer = source.writeStream.foreachBatch(_step).option(
@@ -535,6 +637,7 @@ def run_incremental_er(
     stable_ids: bool = False,
     indexed: bool = False,
     n_buckets: int = 16,
+    changelog: bool = False,
 ) -> dict:
     """Stream a PAGES landing directory into a continuously maintained
     entity table under ``workdir`` (offers/, score_cache/, match_edges/,
@@ -564,6 +667,7 @@ def run_incremental_er(
         stable_ids=stable_ids,
         indexed=indexed,
         n_buckets=n_buckets,
+        changelog=changelog,
     )
 
 
@@ -579,6 +683,7 @@ def run_incremental_er_offers(
     stable_ids: bool = False,
     indexed: bool = False,
     n_buckets: int = 16,
+    changelog: bool = False,
 ) -> dict:
     """Same incremental ER over a landing directory of ALREADY-EXTRACTED
     offers (OFFER_SCHEMA parquet drops) — the entry point for corpora that
@@ -600,4 +705,5 @@ def run_incremental_er_offers(
         stable_ids=stable_ids,
         indexed=indexed,
         n_buckets=n_buckets,
+        changelog=changelog,
     )

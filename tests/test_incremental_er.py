@@ -457,10 +457,17 @@ def test_indexed_uncommitted_crash_replay_rederives(spark, tmp_path_factory):
     resolve_batch_indexed(spark, b2, wd_ref, batch_id=1)
 
     # crashy run: batch 0 commits; batch 1's attempt tears mid-write —
-    # the offers-dir append landed AND an in-progress version holds a
-    # partial state write, but CURRENT still points at batch 0
+    # the offers-dir append landed (fully prefix-renamed, plus a stale
+    # staging dir from a second torn attempt — the worst state the
+    # prefix-named idempotent append can leave) AND an in-progress version
+    # holds a partial state write, but CURRENT still points at batch 0
+    from productbert_intermediate_spark.streaming.incremental_er import (
+        _append_offers_idempotent,
+    )
+
     resolve_batch_indexed(spark, b1, wd, batch_id=0)
-    b2.write.mode("append").parquet(f"{wd}/offers")
+    _append_offers_idempotent(spark, b2, f"{wd}/offers", 1)
+    b2.write.mode("overwrite").parquet(f"{wd}/offers/.staging-b1")
     torn = VersionedState(spark, os.path.join(wd, "index"))
     assert torn.last_batch_id() == 0
     torn.begin()
@@ -610,3 +617,54 @@ spark.stop()
     assert other["root"] != incr_er_scratch_root(spark, TESTDATA_SF_DIR)
     assert len(mine) > 0
     assert mine == [list(map(int, r)) for r in other["rows"]]
+
+
+def test_changelog_emits_per_batch_entity_deltas(spark, e2e_dir, tmp_path_factory):
+    """changelog=True: every micro-batch lands one batch=<id> partition of
+    per-entity deltas over the STABLE ids, and each partition equals the
+    entity_changelog operator applied to the surrounding stable snapshots —
+    the delta feed a consumer applies instead of re-reading the table."""
+    from productbert_intermediate_spark.operators.entity_diff import (
+        entity_changelog,
+    )
+
+    root = str(tmp_path_factory.mktemp("incr_changelog"))
+    landing = _land(spark, f"{e2e_dir}/pages.parquet", f"{root}/landing", 2)
+    held = os.path.join(root, "held-0001.parquet")
+    shutil.move(os.path.join(landing, "drop-0001.parquet"), held)
+    workdir = f"{root}/work"
+    run_incremental_er(
+        spark, landing, workdir, indexed=True, stable_ids=True, changelog=True
+    )
+    clog = f"{workdir}/entity_changelog"
+    assert os.path.isdir(f"{clog}/batch=0")
+    first = spark.read.parquet(f"{clog}/batch=0")
+    # first batch: an empty prev snapshot — everything is `created`
+    assert first.count() > 0
+    assert {r["change"] for r in first.collect()} == {"created"}
+
+    stable1 = spark.read.parquet(f"{workdir}/stable_entities").select(
+        "id", "entity_id"
+    )
+    stable1 = spark.createDataFrame(stable1.collect(), "id long, entity_id long")
+
+    shutil.move(held, os.path.join(landing, "drop-0001.parquet"))
+    run_incremental_er(
+        spark, landing, workdir, indexed=True, stable_ids=True, changelog=True
+    )
+    stable2 = spark.read.parquet(f"{workdir}/stable_entities").select(
+        "id", "entity_id"
+    )
+    batches = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(clog)
+        if d.startswith("batch=")
+    )
+    assert batches[0] == 0 and len(batches) >= 2
+    second = spark.read.parquet(f"{clog}/batch={batches[-1]}").drop("batch")
+    want = entity_changelog(stable1, stable2)
+    assert sorted(map(tuple, second.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the feed is delta-bounded: changed entities only, nothing repeated
+    assert second.count() == second.select("entity_id").distinct().count()

@@ -408,6 +408,28 @@ def test_stabilize_keeps_unsplit_entity_ids(spark, stab_runs):
     assert stab["inherited_entities"] > 0
     assert report["counts"]["entities"] == n_entities
 
+    # the changelog stage is checkpointed and equals the operator applied
+    # to the two assignments it bridges (prev entities → stabilized)
+    from productbert_intermediate_spark.operators.entity_diff import (
+        entity_changelog,
+    )
+
+    clog = StageCatalog(spark, wd_b).read("entity_changelog")
+    want = entity_changelog(
+        prev.select("id", "entity_id"), stable.select("id", "entity_id")
+    )
+    assert sorted(map(tuple, clog.select(*want.columns).collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    by_class = {
+        r["change"]: r["n"]
+        for r in clog.groupBy("change").agg(F.count("*").alias("n")).collect()
+    }
+    assert report["stabilize"]["changelog"] == by_class
+    # `created` rows are exactly the fresh entities: fresh ids start above
+    # every prev id (so n_prev=0), and every inherited id existed before
+    assert by_class.get("created", 0) == stab["fresh_entities"]
+
 
 def test_stabilize_in_place_rerun_snapshots_prev(spark, e2e_dir, stab_runs):
     """stabilize_against == workdir (re-resolving a grown corpus in place):
