@@ -2721,6 +2721,46 @@ def q_entity_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_changelog(prev, new)
 
 
+def q_member_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-level companion of the changelog: every id whose assignment
+    differs between the two snapshots (operators/entity_diff.member_moves),
+    over the same arithmetic move set as q_entity_changelog."""
+    from ..operators.entity_diff import member_moves
+
+    o = _t(spark, sf_dir, "orders")
+    prev = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").cast("long").alias("entity_id"),
+    )
+    new = o.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_custkey") + 1000000
+        )
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("entity_id"),
+    )
+    return member_moves(prev, new)
+
+
+SQL_MEMBER_MOVES = """
+with prev as (
+  select o_orderkey as id, cast(o_custkey as bigint) as entity_id from orders
+), new as (
+  select o_orderkey as id,
+         cast(case when o_orderkey % 5 = 0 then o_custkey + 1000000
+                   else o_custkey end as bigint) as entity_id
+  from orders where o_orderkey % 7 <> 0
+)
+select coalesce(p.id, n.id) as id,
+       p.entity_id as prev_entity_id,
+       n.entity_id as new_entity_id
+from prev p full outer join new n on p.id = n.id
+where p.entity_id is distinct from n.entity_id
+"""
+
+
 SQL_ENTITY_CHANGELOG = """
 with prev as (
   select o_orderkey as id, cast(o_custkey as bigint) as entity_id from orders
@@ -2838,6 +2878,7 @@ REGISTRY: dict[str, tuple] = {
     # holds one row per distinct capability; the pytest oracle suite
     # hash-checks it every run (tests/test_driver_contract.py)
     "entity_changelog": (q_entity_changelog, SQL_ENTITY_CHANGELOG),
+    "member_moves": (q_member_moves, SQL_MEMBER_MOVES),
     # oracles KEPT but outside the driver's 50-row window (still checked by
     # pytest's oracle suite every run, and by the driver if the window ever
     # widens): the rotated-out near-redundant rows above, then ann_topk —
