@@ -52,6 +52,30 @@ def member_moves(prev: DataFrame, new: DataFrame) -> DataFrame:
     ).select("id", "prev_entity_id", "new_entity_id")
 
 
+def apply_member_moves(prev: DataFrame, moves: DataFrame) -> DataFrame:
+    """Consumer side of the feed: ``prev`` snapshot + :func:`member_moves`
+    output → the EXACT next snapshot (id, entity_id).
+
+    A move row's ``new_entity_id`` is the id's next assignment; NULL means
+    the id left the corpus. Every id absent from the feed keeps its prev
+    assignment. Round-trip invariant (tests/test_entity_diff.py):
+    ``apply_member_moves(prev, member_moves(prev, new)) == new`` row-exactly.
+
+    Scale shape: the feed is delta-sized, so the anti-join's build side is
+    small (broadcastable by AQE) and the stage does O(corpus) scan +
+    O(delta) work — the whole point of consuming moves instead of
+    re-reading the resolved table.
+    """
+    m = moves.select("id", "prev_entity_id", "new_entity_id")
+    kept = prev.select("id", "entity_id").join(
+        m.select("id"), "id", "left_anti"
+    )
+    arrived = m.where(F.col("new_entity_id").isNotNull()).select(
+        "id", F.col("new_entity_id").alias("entity_id")
+    )
+    return kept.unionByName(arrived)
+
+
 def entity_changelog(prev: DataFrame, new: DataFrame) -> DataFrame:
     """Per-entity delta between two stable-id snapshots.
 

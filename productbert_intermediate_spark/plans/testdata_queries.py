@@ -2744,6 +2744,38 @@ def q_member_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return member_moves(prev, new)
 
 
+def q_apply_member_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer side of the delta feed: reconstruct the NEW snapshot from
+    prev + member_moves (operators/entity_diff.apply_member_moves). The
+    oracle computes the new snapshot directly, so a hash match proves the
+    feed round-trips exactly — the contract a downstream sync relies on."""
+    from ..operators.entity_diff import apply_member_moves, member_moves
+
+    o = _t(spark, sf_dir, "orders")
+    prev = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_custkey").cast("long").alias("entity_id"),
+    )
+    new = o.where(F.col("o_orderkey") % 7 != 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_custkey") + 1000000
+        )
+        .otherwise(F.col("o_custkey"))
+        .cast("long")
+        .alias("entity_id"),
+    )
+    return apply_member_moves(prev, member_moves(prev, new))
+
+
+SQL_APPLY_MEMBER_MOVES = """
+select o_orderkey as id,
+       cast(case when o_orderkey % 5 = 0 then o_custkey + 1000000
+                 else o_custkey end as bigint) as entity_id
+from orders where o_orderkey % 7 <> 0
+"""
+
+
 SQL_MEMBER_MOVES = """
 with prev as (
   select o_orderkey as id, cast(o_custkey as bigint) as entity_id from orders
@@ -2879,6 +2911,7 @@ REGISTRY: dict[str, tuple] = {
     # hash-checks it every run (tests/test_driver_contract.py)
     "entity_changelog": (q_entity_changelog, SQL_ENTITY_CHANGELOG),
     "member_moves": (q_member_moves, SQL_MEMBER_MOVES),
+    "apply_member_moves": (q_apply_member_moves, SQL_APPLY_MEMBER_MOVES),
     # oracles KEPT but outside the driver's 50-row window (still checked by
     # pytest's oracle suite every run, and by the driver if the window ever
     # widens): the rotated-out near-redundant rows above, then ann_topk —

@@ -145,3 +145,50 @@ def test_changelog_matches_duckdb_ledger(spark):
     # 'grew' cannot arise here (every arrival-gaining entity also loses a
     # %7 member → reshaped); it is pinned by test_changelog_classification
     assert set(got["change"]) >= {"created", "shrank", "reshaped"}
+
+
+def test_apply_member_moves_round_trip(spark):
+    """Consumer contract: prev + the move feed reconstructs new EXACTLY —
+    arrivals inserted, departures dropped, re-keys applied, everything
+    else untouched."""
+    from productbert_intermediate_spark.operators.entity_diff import (
+        apply_member_moves,
+    )
+
+    prev, new = _snapshots(spark)
+    got = apply_member_moves(prev, member_moves(prev, new))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+
+
+def test_apply_member_moves_round_trip_generated(spark):
+    """Same round-trip on the arithmetic snapshot pair with every move
+    class (re-key, departure, arrival) at a few hundred rows."""
+    from productbert_intermediate_spark.operators.entity_diff import (
+        apply_member_moves,
+    )
+
+    n = 500
+    prev = spark.range(n).selectExpr("id", "id % 37 AS entity_id")
+    new = (
+        spark.range(n + 50)
+        .selectExpr(
+            "id",
+            "CASE WHEN id >= {n} THEN 1 "
+            "     WHEN id % 5 = 0 THEN id % 37 + 1000 "
+            "     ELSE id % 37 END AS entity_id".format(n=n),
+        )
+        .where("id % 7 != 0 OR id >= {n}".format(n=n))
+    )
+    got = apply_member_moves(prev, member_moves(prev, new))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, new.collect())
+    )
+    # empty feed is the identity
+    empty = member_moves(prev, prev)
+    assert empty.count() == 0
+    same = apply_member_moves(prev, empty)
+    assert sorted(map(tuple, same.collect())) == sorted(
+        map(tuple, prev.collect())
+    )
