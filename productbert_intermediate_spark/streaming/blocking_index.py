@@ -264,8 +264,36 @@ def apply_batch(
         batch_tok.select("id", "gnorm", "tokens").unionByName(holder_tokens)
     )
 
-    # -- 4. re-prune + re-key the touched offers -----------------------
+    # -- 4-7. re-key the touched offers and diff (shared with retraction)
     kept_tokens = merged.where("kept_n").select("gnorm", "token", "df")
+    raw_adds, removed = _rekey_and_diff(state, touched_raw, kept_tokens, params)
+    n_offers = int(
+        new_n.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
+    )
+    return {
+        "pair_adds": raw_adds,
+        "pair_removals": removed,
+        "n_offers": n_offers,
+    }
+
+
+def _rekey_and_diff(
+    state: VersionedState,
+    touched_raw: DataFrame,
+    kept_tokens: DataFrame,
+    params: BlockingParams,
+) -> tuple[DataFrame, DataFrame]:
+    """Steps 4-7 of the index fold, shared by :func:`apply_batch` and
+    :func:`apply_retraction`: recompute keys for ``touched_raw`` (id, gnorm,
+    raw tokens — an EMPTY token array means the offer leaves the index, so
+    every old key it held dies), diff against the stored key sets, apply the
+    membership deltas to ``offer_keys`` / ``key_members`` in the in-progress
+    version, and return (pair_adds, pair_removals) with the shared-key
+    support check applied to removals. ``kept_tokens`` is the (gnorm, token,
+    df) set valid under the NEW thresholds."""
+    spark = state.spark
+    nb = state.n_buckets
+
     exploded = touched_raw.select(
         "id", "gnorm", F.explode("tokens").alias("token")
     )
@@ -389,6 +417,171 @@ def apply_batch(
         removed = _supported_pairs(
             state, removal_cand, rc_keys, new_members, touched_keys, params
         )
+    return raw_adds, removed
+
+
+def apply_retraction(
+    state: VersionedState,
+    ids: DataFrame,
+    params: BlockingParams,
+) -> dict:
+    """Fold one batch of offer RETRACTIONS into the blocking index — the
+    lifecycle event a continuous crawl cannot avoid (page taken down,
+    right-to-erasure, re-crawl superseding old content). ``ids`` must be
+    restricted to offers currently in the index (caller intersects); the
+    caller has ``begin()``-ed a version and commits after downstream steps.
+
+    Same exactness invariant as :func:`apply_batch`, mirrored: after the
+    fold, the candidate set equals ``block_offers`` from scratch on the
+    corpus MINUS ``ids``. Retraction moves corpus statistics the opposite
+    way — a token's df (and its group's size ceiling) can FALL back inside
+    the gates, re-validating keys of SURVIVING offers — so the returned
+    ``pair_adds`` are retroactive pairs among survivors and
+    ``pair_removals`` cover every candidate pair touching a retracted id
+    plus flip fallout, both via the same flip machinery and shared-key
+    support check as the insert path. Retracted ids re-key to the EMPTY
+    set (``_rekey_and_diff``), which deletes their memberships uniformly.
+
+    Per-batch cost mirrors apply_batch: one V-sized token_df merge,
+    bucket-pruned lookups/rewrites keyed by the retracted offers' ids and
+    tokens, pair work bounded by touched keys. No corpus scan.
+    """
+    spark = state.spark
+    nb = state.n_buckets
+    ids = _ckpt(ids.select("id").distinct())
+
+    gone_tok = _ckpt(
+        state.lookup("offer_tokens", SCH_OFFER_TOKENS, "id", ids).select(
+            "id", "gnorm", "tokens"
+        )
+    )
+    gone_posts = gone_tok.select(
+        "gnorm", F.explode("tokens").alias("token"), "id"
+    )
+
+    # -- token_df / group_sizes: negative merge + flip detection --------
+    old_df = state.read("token_df", SCH_TOKEN_DF).select("gnorm", "token", "df")
+    old_n = state.read("group_sizes", SCH_GROUP_SIZES).select("gnorm", "n")
+    gone_counts = gone_posts.groupBy("gnorm", "token").agg(
+        F.count("*").alias("d_df")
+    )
+    gone_n = gone_tok.groupBy("gnorm").agg(F.count("*").alias("d_n"))
+    new_n = _ckpt(
+        old_n.join(gone_n, "gnorm", "left")
+        .select(
+            "gnorm",
+            (F.col("n") - F.coalesce("d_n", F.lit(0))).alias("n"),
+        )
+        .where(F.col("n") > 0)
+    )
+    merged = (
+        old_df.join(gone_counts, ["gnorm", "token"], "left")
+        .select(
+            "gnorm",
+            "token",
+            F.col("df").alias("df_old"),
+            (F.col("df") - F.coalesce("d_df", F.lit(0))).alias("df"),
+        )
+        .join(F.broadcast(old_n.withColumnRenamed("n", "n_old")), "gnorm")
+        .join(F.broadcast(new_n), "gnorm", "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+    )
+    kept_o, rare_o = _status_cols(F.col("df_old"), F.col("n_old"), params)
+    kept_n, rare_n = _status_cols(F.col("df"), F.col("n"), params)
+    merged = _ckpt(
+        merged.select(
+            "gnorm",
+            "token",
+            "df",
+            kept_o.alias("kept_o"),
+            rare_o.alias("rare_o"),
+            kept_n.alias("kept_n"),
+            rare_n.alias("rare_n"),
+        )
+    )
+    # df=0 rows leave the vocabulary table instead of lingering forever
+    state.rewrite_buckets(
+        "token_df",
+        SCH_TOKEN_DF,
+        merged.where(F.col("df") > 0).select(
+            "gnorm", "token", "df", bucket_of(F.col("token"), nb).alias("bucket")
+        ),
+        list(range(nb)),
+    )
+    state.rewrite_buckets(
+        "group_sizes",
+        SCH_GROUP_SIZES,
+        new_n.select("gnorm", "n", bucket_of(F.col("gnorm"), nb).alias("bucket")),
+        list(range(nb)),
+    )
+    flipped = _ckpt(
+        merged.where(
+            (F.col("kept_o") != F.col("kept_n"))
+            | (F.col("rare_o") != F.col("rare_n"))
+        ).select("gnorm", "token")
+    )
+
+    # -- touched survivors: flipped-token holders minus the retracted ---
+    flip_buckets = [
+        r["b"]
+        for r in flipped.select(
+            bucket_of(F.col("token"), nb).alias("b")
+        ).distinct().collect()
+    ]
+    old_posts = state.read("postings", SCH_POSTINGS)
+    holders = (
+        old_posts.where(F.col("bucket").isin(flip_buckets))
+        .join(flipped, ["gnorm", "token"], "left_semi")
+        .select("id")
+        .distinct()
+        .join(ids, "id", "left_anti")
+        if flip_buckets
+        else spark.createDataFrame([], "id long")
+    )
+    holders = _ckpt(holders)
+
+    # -- delete retracted rows from postings / offer_tokens -------------
+    gone_tok_buckets = [
+        r["b"]
+        for r in gone_posts.select(
+            bucket_of(F.col("token"), nb).alias("b")
+        ).distinct().collect()
+    ]
+    keep_posts = (
+        old_posts.where(F.col("bucket").isin(gone_tok_buckets))
+        .join(F.broadcast(ids), "id", "left_anti")
+        .select("gnorm", "token", "id", "bucket")
+    )
+    state.rewrite_buckets("postings", SCH_POSTINGS, keep_posts, gone_tok_buckets)
+    id_buckets = [
+        r["b"]
+        for r in ids.select(
+            bucket_of(F.col("id"), nb).alias("b")
+        ).distinct().collect()
+    ]
+    old_ot = state.read("offer_tokens", SCH_OFFER_TOKENS)
+    keep_ot = (
+        old_ot.where(F.col("bucket").isin(id_buckets))
+        .join(F.broadcast(ids), "id", "left_anti")
+        .select("id", "gnorm", "tokens", "bucket")
+    )
+    state.rewrite_buckets("offer_tokens", SCH_OFFER_TOKENS, keep_ot, id_buckets)
+
+    # -- re-key: survivors with their raw tokens, retracted with EMPTY --
+    holder_tokens = state.lookup(
+        "offer_tokens", SCH_OFFER_TOKENS, "id", holders
+    ).select("id", "gnorm", "tokens")
+    touched_raw = _ckpt(
+        holder_tokens.unionByName(
+            gone_tok.select(
+                "id",
+                "gnorm",
+                F.array().cast("array<string>").alias("tokens"),
+            )
+        )
+    )
+    kept_tokens = merged.where("kept_n").select("gnorm", "token", "df")
+    raw_adds, removed = _rekey_and_diff(state, touched_raw, kept_tokens, params)
     n_offers = int(
         new_n.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0]
     )

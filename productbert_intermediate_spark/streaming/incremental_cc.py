@@ -43,6 +43,7 @@ def update_components(
     edge_adds: DataFrame,
     edge_dels: DataFrame,
     current_match_edges: DataFrame,
+    removed_ids: DataFrame | None = None,
 ) -> None:
     """Fold one batch's node/edge delta into the ``components`` table.
 
@@ -50,18 +51,24 @@ def update_components(
     ``edge_adds`` / ``edge_dels``: (id_l, id_r) match edges entering/leaving
     the graph this batch. ``current_match_edges``: the POST-delta match=true
     edge set (id_l, id_r) — consulted only for affected components.
+    ``removed_ids``: single-column (id) offers RETRACTED this batch — their
+    components are affected (members re-close without them, which can split
+    an entity) and their own rows leave the table.
     """
     nb = state.n_buckets
     comp = state.read("components", SCH_COMPONENTS)
     new_ids = _ckpt(new_ids.select("id").distinct())
 
-    delta_ids = _ckpt(
+    delta_ids = (
         edge_adds.select(F.col("id_l").alias("id"))
         .unionByName(edge_adds.select(F.col("id_r").alias("id")))
         .unionByName(edge_dels.select(F.col("id_l").alias("id")))
         .unionByName(edge_dels.select(F.col("id_r").alias("id")))
-        .distinct()
     )
+    if removed_ids is not None:
+        removed_ids = _ckpt(removed_ids.select("id").distinct())
+        delta_ids = delta_ids.unionByName(removed_ids)
+    delta_ids = _ckpt(delta_ids.distinct())
     if delta_ids.isEmpty():
         # no graph change: only append the new singletons
         rows = new_ids.select(
@@ -98,10 +105,16 @@ def update_components(
 
     # the affected subgraph: its members (incl. delta endpoints first seen
     # this batch) and the current match edges with an endpoint among them
-    # (both endpoints are, by the component-closure argument)
-    sub_nodes = _ckpt(
-        members.select("id").unionByName(delta_ids).distinct()
-    )
+    # (both endpoints are, by the component-closure argument). Retracted
+    # ids leave the node set — the re-closure below is over survivors only,
+    # so a bridge node's removal splits its entity exactly as a from-scratch
+    # run would
+    sub_nodes = members.select("id").unionByName(delta_ids).distinct()
+    if removed_ids is not None:
+        sub_nodes = sub_nodes.join(
+            F.broadcast(removed_ids), "id", "left_anti"
+        )
+    sub_nodes = _ckpt(sub_nodes)
     sub_edges = current_match_edges.join(
         F.broadcast(sub_nodes.withColumnRenamed("id", "id_l")), "id_l",
         "left_semi",

@@ -235,10 +235,17 @@ def _stabilize_step(
     (operators/entity_diff.entity_changelog, computed over the STABLE ids so
     an entity_id means the same entity on both sides) as one ``batch=<id>``
     partition — idempotent under foreachBatch replay: the partition path is
-    keyed by batch_id and overwritten whole. A replay that arrives AFTER the
-    stable swap landed recomputes an empty delta (prev == new by then); the
-    empty-delta guard below skips the overwrite so the real changelog
-    written just before the swap survives.
+    keyed by ``batch_id`` and overwritten whole. Indexed-mode callers pass
+    the state's COMMIT SEQUENCE (VersionedState.in_progress_version) as the
+    key, not the stream batch id: out-of-band commits (a user retraction
+    between micro-batches) consume their own sequence number, so a later
+    stream batch can never collide with — and silently overwrite — the
+    retraction's delta, and the feed's partition order IS the commit order
+    a consumer must apply deltas in. Replay stability is unchanged: an
+    uncommitted attempt's replay re-begins the same version. A replay that
+    arrives AFTER the stable swap landed recomputes an empty delta
+    (prev == new by then); the empty-delta guard below skips the overwrite
+    so the real changelog written just before the swap survives.
     """
     from ..operators.entity_ids import stabilize_entity_ids
 
@@ -475,13 +482,339 @@ def resolve_batch_indexed(
             changelog_dir=(
                 os.path.join(workdir, "entity_changelog") if changelog else None
             ),
-            batch_id=batch_id,
+            # keyed by commit sequence, not stream batch id — see
+            # _stabilize_step's docstring (out-of-band retractions)
+            batch_id=state.in_progress_version(),
         )
     # bin-pack any bucket that accumulated more than compact_max_files
     # small files (append() adds one file set per batch): keeps per-bucket
     # read cost O(1) across micro-batches instead of O(#batches)
     state.compact_all(compact_max_files)
     state.commit(batch_id)
+
+
+def _offers_ddl(offers_tbl: DataFrame) -> str:
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in offers_tbl.schema.fields
+    )
+
+
+def resolve_batch_retract(
+    spark: SparkSession,
+    retract_ids: DataFrame,
+    workdir: str,
+    batch_id: int | None = None,
+    weights: dict[str, float] | None = None,
+    blocking_params: dict | None = None,
+    n_buckets: int = 16,
+    stable_ids: bool = False,
+    changelog: bool = False,
+    compact_max_files: int = 8,
+) -> None:
+    """Retract offers from an indexed-mode workdir: the other lifecycle
+    event of a continuous crawl (page taken down, right-to-erasure, or the
+    retract half of an upsert). ``retract_ids`` is a single-column (id)
+    DataFrame; ids not currently indexed are ignored, so a replay of a
+    committed retraction is a no-op.
+
+    Invariant, mirrored from :func:`resolve_batch_indexed`: after the
+    commit, every state table equals a from-scratch batch run over the
+    corpus MINUS the retracted ids — candidate pairs touching them leave
+    match_edges, retroactive pairs re-validated by falling token dfs enter
+    (scored, or reused from cache), and their components re-close without
+    them (a retracted bridge record SPLITS its entity, exactly as from
+    scratch; streaming/incremental_cc.py ``removed_ids``).
+
+    Cached scores touching retracted ids are EVICTED (one map-only scan of
+    the cache's two id columns with a broadcast filter — the one
+    cache-sized touch, no shuffle; only hit buckets rewrite), so a later
+    re-insert of the same id with different content re-scores instead of
+    reusing a stale row — the correctness seam :func:`resolve_batch_upsert`
+    relies on.
+
+    The flat ``offers/`` dir is the append-only INGEST LOG and is left
+    untouched; the resolved corpus view is :func:`read_corpus_indexed`
+    (the committed, id-bucketed offers state table).
+    """
+    from .blocking_index import (
+        SCH_OFFER_TOKENS,
+        BlockingParams,
+        apply_retraction,
+    )
+    from .incremental_cc import update_components
+    from .state_store import VersionedState, bucket_of
+
+    state = VersionedState(spark, os.path.join(workdir, "index"), n_buckets)
+    if batch_id is not None and state.last_batch_id() == batch_id:
+        return  # replay of a committed retraction
+    params = BlockingParams(**(blocking_params or {}))
+    rids = (
+        state.lookup(
+            "offer_tokens",
+            SCH_OFFER_TOKENS,
+            "id",
+            retract_ids.select("id").distinct(),
+        )
+        .select("id")
+        .localCheckpoint(eager=True)
+    )
+    if rids.isEmpty():
+        return  # nothing indexed to retract (incl. replay after commit)
+
+    state.begin()
+    delta = apply_retraction(state, rids, params)
+    pb = _pair_bucket(n_buckets)
+
+    # offers state: drop retracted rows (bucket-pruned rewrite)
+    offers_tbl = state.read("offers", "id long, bucket int")
+    sch_offers = _offers_ddl(offers_tbl)
+    rid_buckets = [
+        r["b"]
+        for r in rids.select(
+            bucket_of(F.col("id"), n_buckets).alias("b")
+        ).distinct().collect()
+    ]
+    keep_offers = offers_tbl.where(F.col("bucket").isin(rid_buckets)).join(
+        F.broadcast(rids), "id", "left_anti"
+    )
+    state.rewrite_buckets("offers", sch_offers, keep_offers, rid_buckets)
+
+    # score-cache eviction: scan id_l/id_r with a broadcast filter to find
+    # hit buckets (map-only, two long columns), rewrite only those
+    sc = state.read("score_cache", SCH_SCORE_CACHE)
+    r_l = rids.withColumnRenamed("id", "id_l")
+    r_r = rids.withColumnRenamed("id", "id_r")
+    hit_buckets = [
+        r["b"]
+        for r in sc.join(F.broadcast(r_l), "id_l", "left_semi")
+        .select(F.col("bucket").alias("b"))
+        .unionByName(
+            sc.join(F.broadcast(r_r), "id_r", "left_semi").select(
+                F.col("bucket").alias("b")
+            )
+        )
+        .distinct()
+        .collect()
+    ]
+    if hit_buckets:
+        keep_cache = (
+            sc.where(F.col("bucket").isin(hit_buckets))
+            .join(F.broadcast(r_l), "id_l", "left_anti")
+            .join(F.broadcast(r_r), "id_r", "left_anti")
+        )
+        state.rewrite_buckets(
+            "score_cache", SCH_SCORE_CACHE, keep_cache, hit_buckets
+        )
+    else:
+        state.carry("score_cache")
+
+    # retroactive adds among survivors: reuse evicted-aware cache, score
+    # the rest (hydration = bucket-pruned lookup of the committed offers)
+    me = state.read("match_edges", SCH_MATCH_EDGES)
+    raw_adds = delta["pair_adds"]
+    add_buckets = [
+        r["b"] for r in raw_adds.select(pb.alias("b")).distinct().collect()
+    ]
+    if add_buckets:
+        already = (
+            me.where(F.col("bucket").isin(add_buckets))
+            .join(F.broadcast(raw_adds), ["id_l", "id_r"], "left_semi")
+            .select("id_l", "id_r")
+        )
+        adds = raw_adds.join(
+            F.broadcast(already), ["id_l", "id_r"], "left_anti"
+        ).localCheckpoint(eager=True)
+        cache_next = state.read_next("score_cache", SCH_SCORE_CACHE)
+        cache_pruned = cache_next.where(F.col("bucket").isin(add_buckets))
+        to_score = adds.join(
+            cache_pruned.select("id_l", "id_r"), ["id_l", "id_r"], "left_anti"
+        )
+        pair_ids = (
+            adds.select(F.col("id_l").alias("id"))
+            .unionByName(adds.select(F.col("id_r").alias("id")))
+            .distinct()
+        )
+        offers_scope = state.lookup(
+            "offers", sch_offers, "id", pair_ids
+        ).drop("bucket")
+        scored_new = S.score_candidates(
+            to_score, offers_scope, weights=weights, n_offers=delta["n_offers"]
+        ).select(*EDGE_COLS)
+        state.append_rows_next(
+            "score_cache", scored_new.withColumn("bucket", pb)
+        )
+        add_rows = (
+            state.read_next("score_cache", SCH_SCORE_CACHE)
+            .where(F.col("bucket").isin(add_buckets))
+            .join(F.broadcast(adds), ["id_l", "id_r"], "left_semi")
+            .select(*EDGE_COLS)
+            .localCheckpoint(eager=True)
+        )
+    else:
+        adds = raw_adds
+        add_rows = spark.createDataFrame(
+            [],
+            "id_l long, id_r long, logit double, score double, match boolean",
+        )
+
+    # removals: every candidate pair touching a retracted id is in the
+    # delta (its keys all died, and no valid shared key survives)
+    removals = delta["pair_removals"].localCheckpoint(eager=True)
+    rem_buckets = [
+        r["b"] for r in removals.select(pb.alias("b")).distinct().collect()
+    ]
+    if rem_buckets:
+        me_rem_pruned = me.where(F.col("bucket").isin(rem_buckets))
+        rem_rows = me_rem_pruned.join(
+            F.broadcast(removals), ["id_l", "id_r"], "left_semi"
+        ).select(*EDGE_COLS).localCheckpoint(eager=True)
+        touched = sorted(
+            {int(b) for b in add_buckets} | {int(b) for b in rem_buckets}
+        )
+        keep = (
+            me.where(F.col("bucket").isin(touched))
+            .select(*EDGE_COLS)
+            .join(F.broadcast(removals), ["id_l", "id_r"], "left_anti")
+        )
+        state.rewrite_buckets(
+            "match_edges",
+            SCH_MATCH_EDGES,
+            keep.unionByName(add_rows).select(*EDGE_COLS, pb.alias("bucket")),
+            touched,
+        )
+    else:
+        rem_rows = spark.createDataFrame(
+            [], "id_l long, id_r long, logit double, score double, match boolean"
+        )
+        state.carry("match_edges")
+        if add_buckets:
+            state.append_rows_next(
+                "match_edges", add_rows.select(*EDGE_COLS, pb.alias("bucket"))
+            )
+
+    cur_match = (
+        state.read_next("match_edges", SCH_MATCH_EDGES)
+        .where("match")
+        .select("id_l", "id_r")
+    )
+    update_components(
+        state,
+        new_ids=spark.createDataFrame([], "id long"),
+        edge_adds=add_rows.where("match").select("id_l", "id_r"),
+        edge_dels=rem_rows.where("match").select("id_l", "id_r"),
+        current_match_edges=cur_match,
+        removed_ids=rids,
+    )
+    if stable_ids:
+        _stabilize_step(
+            spark,
+            _next_entities(spark, state),
+            os.path.join(workdir, "stable_entities"),
+            changelog_dir=(
+                os.path.join(workdir, "entity_changelog") if changelog else None
+            ),
+            # keyed by commit sequence, not stream batch id — see
+            # _stabilize_step's docstring (out-of-band retractions)
+            batch_id=state.in_progress_version(),
+        )
+    state.compact_all(compact_max_files)
+    state.commit(batch_id)
+
+
+def resolve_batch_upsert(
+    spark: SparkSession,
+    batch_offers: DataFrame,
+    workdir: str,
+    batch_id: int | None = None,
+    weights: dict[str, float] | None = None,
+    blocking_params: dict | None = None,
+    n_buckets: int = 16,
+    stable_ids: bool = False,
+    changelog: bool = False,
+    compact_max_files: int = 8,
+) -> None:
+    """Fold a batch that may RE-OFFER already-indexed ids with changed
+    content (a re-crawl): retract the stale versions, then insert the batch.
+
+    Invariant: after the commit, state equals a from-scratch run over
+    (accumulated corpus − batch ids) ∪ batch. Ids whose stored row is
+    byte-identical to the batch row are NOT retracted (nothing to redo —
+    the insert path's seen-filter then skips them); changed ids are
+    retracted first, which evicts their cached pair scores, so the insert
+    re-scores every pair they enter with the NEW content.
+
+    Crash story: the retraction commits its own version (carrying the last
+    stream batch id forward in the pointer), the insert commits with
+    ``batch_id``. A replay after a crash in between finds the stale ids
+    already gone (retract no-ops before opening a version) and re-runs the
+    insert idempotently; a replay after full commit short-circuits on this
+    function's batch-id guard before touching anything.
+    """
+    from .blocking_index import SCH_OFFER_TOKENS
+    from .state_store import VersionedState
+
+    state = VersionedState(spark, os.path.join(workdir, "index"), n_buckets)
+    if batch_id is not None and state.last_batch_id() == batch_id:
+        return
+    batch = batch_offers.where(F.col("id").isNotNull())
+    present = state.lookup(
+        "offer_tokens", SCH_OFFER_TOKENS, "id", batch.select("id").distinct()
+    ).select("id")
+    stale = present
+    if not present.isEmpty():
+        offers_tbl = state.read("offers", "id long, bucket int")
+        stored = state.lookup(
+            "offers", _offers_ddl(offers_tbl), "id", present
+        ).drop("bucket")
+        shared = sorted(c for c in stored.columns if c in batch.columns)
+        val_cols = [c for c in shared if c != "id"]
+        bh = batch.select("id", F.xxhash64(*val_cols).alias("_h"))
+        sh = stored.select("id", F.xxhash64(*val_cols).alias("_h_old"))
+        stale = (
+            bh.join(sh, "id")
+            .where(F.col("_h") != F.col("_h_old"))
+            .select("id")
+        )
+    # the retract half never stabilizes or logs: the mid-upsert snapshot
+    # (content removed, not yet re-added) is an artifact, and a consumer
+    # wants ONE net delta per upsert — the insert step emits it, comparing
+    # against the pre-upsert stable table
+    resolve_batch_retract(
+        spark,
+        stale,
+        workdir,
+        batch_id=None,
+        weights=weights,
+        blocking_params=blocking_params,
+        n_buckets=n_buckets,
+        stable_ids=False,
+        changelog=False,
+        compact_max_files=compact_max_files,
+    )
+    resolve_batch_indexed(
+        spark,
+        batch,
+        workdir,
+        batch_id=batch_id,
+        weights=weights,
+        blocking_params=blocking_params,
+        n_buckets=n_buckets,
+        stable_ids=stable_ids,
+        changelog=changelog,
+        compact_max_files=compact_max_files,
+    )
+
+
+def read_corpus_indexed(
+    spark: SparkSession, workdir: str, n_buckets: int = 16
+) -> DataFrame:
+    """The resolved corpus of an indexed workdir: the committed offers
+    state table — exact under retractions/upserts, unlike the flat
+    ``offers/`` dir, which is the append-only ingest log."""
+    from .state_store import VersionedState
+
+    state = VersionedState(spark, os.path.join(workdir, "index"), n_buckets)
+    return state.read("offers", "id long, bucket int").drop("bucket")
 
 
 def _next_entities(spark, state) -> DataFrame:

@@ -84,6 +84,15 @@ class VersionedState:
             ptr["batch_id"]
         )
 
+    def in_progress_version(self) -> int:
+        """The version number a ``begin()``-ed transaction will commit as —
+        the state's COMMIT SEQUENCE: unique and monotone across every
+        commit (stream batches and out-of-band retractions alike), and
+        stable under crash replay (an uncommitted attempt's replay re-begins
+        the same number). The changelog feed keys its partitions by this."""
+        assert self._next is not None, "in_progress_version() without begin()"
+        return self._next
+
     def begin(self) -> None:
         cur = self.current_version()
         self._next = 0 if cur is None else cur + 1
@@ -94,6 +103,12 @@ class VersionedState:
 
     def commit(self, batch_id: int | None = None) -> None:
         assert self._next is not None, "commit() without begin()"
+        if batch_id is None:
+            # an out-of-band commit (e.g. a user retraction between stream
+            # micro-batches) must not erase the replay guard: carry the last
+            # stream batch id forward so a foreachBatch replay of that batch
+            # still short-circuits
+            batch_id = self.last_batch_id()
         tmp = os.path.join(self.root, CURRENT + ".tmp")
         with open(tmp, "w") as f:
             json.dump({"version": self._next, "batch_id": batch_id}, f)
