@@ -442,9 +442,17 @@ def apply_retraction(
     support check as the insert path. Retracted ids re-key to the EMPTY
     set (``_rekey_and_diff``), which deletes their memberships uniformly.
 
-    Per-batch cost mirrors apply_batch: one V-sized token_df merge,
-    bucket-pruned lookups/rewrites keyed by the retracted offers' ids and
-    tokens, pair work bounded by touched keys. No corpus scan.
+    Per-batch cost mirrors apply_batch — one V-sized token_df merge,
+    bucket-pruned lookups keyed by the retracted offers' ids and tokens,
+    pair work bounded by touched keys, no corpus scan — with one honest
+    asymmetry: deletes are COPY-ON-WRITE (each touched bucket rewrites
+    whole, Iceberg-COW semantics) where inserts APPEND. Right-sized when
+    retractions are batched and touch a small fraction of buckets — the
+    crawl-lifecycle shape — and the upgrade if tombstone feeds ever
+    dominate is named: position-delete side files applied as read-time
+    anti-joins, compacted past a tombstone-fraction threshold
+    (merge-on-read), exactly the swap the catalog layer documents for
+    Iceberg.
     """
     spark = state.spark
     nb = state.n_buckets

@@ -545,7 +545,11 @@ def resolve_batch_retract(
     from .state_store import VersionedState, bucket_of
 
     state = VersionedState(spark, os.path.join(workdir, "index"), n_buckets)
-    if batch_id is not None and state.last_batch_id() == batch_id:
+    # retractions guard replays in their OWN pointer field: the retraction
+    # stream's foreachBatch counter starts at 0 just like the insert
+    # stream's (separate checkpoints), so sharing one field would let a
+    # committed retraction batch N mask a crash-replay of insert batch N
+    if batch_id is not None and state.last_retract_batch_id() == batch_id:
         return  # replay of a committed retraction
     params = BlockingParams(**(blocking_params or {}))
     rids = (
@@ -718,7 +722,7 @@ def resolve_batch_retract(
             batch_id=state.in_progress_version(),
         )
     state.compact_all(compact_max_files)
-    state.commit(batch_id)
+    state.commit(retract_batch_id=batch_id)
 
 
 def resolve_batch_upsert(
@@ -870,7 +874,13 @@ def _run_stream(
     indexed: bool = False,
     n_buckets: int = 16,
     changelog: bool = False,
+    upsert: bool = False,
 ) -> dict:
+    if upsert and not indexed:
+        raise ValueError(
+            "upsert=True requires indexed=True: re-crawl folds retract"
+            " stale content through the versioned blocking index"
+        )
     offers_dir = os.path.join(workdir, "offers")
     cache_dir = os.path.join(workdir, "score_cache")
     edges_dir = os.path.join(workdir, "match_edges")
@@ -880,7 +890,8 @@ def _run_stream(
 
     def _step(batch_df: DataFrame, batch_id: int) -> None:
         if indexed:
-            resolve_batch_indexed(
+            step = resolve_batch_upsert if upsert else resolve_batch_indexed
+            step(
                 spark,
                 batch_df,
                 workdir,
@@ -942,7 +953,14 @@ def _run_stream(
     edges = spark.read.parquet(edges_dir)
     return {
         "micro_batches": n_batches,
-        "offers": spark.read.parquet(offers_dir).count(),
+        # indexed: the resolved corpus is the committed state table (the
+        # flat offers dir is the append-only ingest log, which an upsert
+        # stream appends each changed version to)
+        "offers": (
+            read_corpus_indexed(spark, workdir, n_buckets)
+            if indexed
+            else spark.read.parquet(offers_dir)
+        ).count(),
         "scored_pairs_cached": (
             read_score_cache_indexed(spark, workdir, n_buckets)
             if indexed
@@ -971,6 +989,7 @@ def run_incremental_er(
     indexed: bool = False,
     n_buckets: int = 16,
     changelog: bool = False,
+    upsert: bool = False,
 ) -> dict:
     """Stream a PAGES landing directory into a continuously maintained
     entity table under ``workdir`` (offers/, score_cache/, match_edges/,
@@ -987,6 +1006,14 @@ def run_incremental_er(
     ``indexed=True`` switches the per-batch step to the O(batch) blocking
     index + incremental closure (resolve_batch_indexed) — same final
     tables, per-batch cost bounded by the delta instead of the corpus.
+
+    ``upsert=True`` (requires ``indexed``) treats a re-offered id as a
+    RE-CRAWL: if its content changed, the stale version is retracted (index
+    rows, cached scores, candidate pairs, component membership) before the
+    new version folds in — resolve_batch_upsert per micro-batch. The
+    default insert mode instead keeps the FIRST version seen and ignores
+    re-offers, which is right for append-only corpora but silently drops
+    content updates on a live crawl.
     """
     pages = stream_pages(spark, pages_path, max_files_per_trigger)
     return _run_stream(
@@ -1001,6 +1028,7 @@ def run_incremental_er(
         indexed=indexed,
         n_buckets=n_buckets,
         changelog=changelog,
+        upsert=upsert,
     )
 
 
@@ -1017,11 +1045,13 @@ def run_incremental_er_offers(
     indexed: bool = False,
     n_buckets: int = 16,
     changelog: bool = False,
+    upsert: bool = False,
 ) -> dict:
     """Same incremental ER over a landing directory of ALREADY-EXTRACTED
     offers (OFFER_SCHEMA parquet drops) — the entry point for corpora that
     arrive as records rather than raw pages (and for the oracle-backed
-    registry twin, which feeds deterministic offer drops)."""
+    registry twin, which feeds deterministic offer drops). ``upsert`` as in
+    :func:`run_incremental_er`."""
     from ..sources.readers import OFFER_SCHEMA
 
     reader = spark.readStream.schema(OFFER_SCHEMA)
@@ -1039,4 +1069,96 @@ def run_incremental_er_offers(
         indexed=indexed,
         n_buckets=n_buckets,
         changelog=changelog,
+        upsert=upsert,
     )
+
+
+def run_incremental_retractions(
+    spark: SparkSession,
+    ids_landing: str,
+    workdir: str,
+    weights: dict[str, float] | None = None,
+    blocking_params: dict | None = None,
+    max_files_per_trigger: int | None = 1,
+    available_now: bool = True,
+    timeout_s: int = 900,
+    stable_ids: bool = False,
+    n_buckets: int = 16,
+    changelog: bool = False,
+) -> dict:
+    """Drain a TOMBSTONE landing directory — parquet drops of single-column
+    ``id`` tables (pages taken down, right-to-erasure requests) — into an
+    INDEXED workdir previously built by the insert/upsert streams:
+    :func:`resolve_batch_retract` per micro-batch, with its own streaming
+    checkpoint (``_retract_checkpoint``) and its own replay-guard namespace
+    in the state pointer, so this feed's batch counter can never mask or be
+    masked by the offers stream's.
+
+    Single-writer contract (the versioned state has one CURRENT pointer and
+    no lock): drain feeds ALTERNATELY with ``availableNow`` — never run this
+    concurrently with the offers stream on the same workdir. The same rule
+    any single-writer table format imposes.
+
+    Returns the usual report dict over the post-drain state; already-absent
+    ids in a drop are no-ops (idempotent replays)."""
+    reader = spark.readStream.schema("id long")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    source = reader.parquet(ids_landing)
+    checkpoint = os.path.join(workdir, "_retract_checkpoint")
+
+    def _step(batch_df: DataFrame, batch_id: int) -> None:
+        resolve_batch_retract(
+            spark,
+            batch_df,
+            workdir,
+            batch_id=batch_id,
+            weights=weights,
+            blocking_params=blocking_params,
+            n_buckets=n_buckets,
+            stable_ids=stable_ids,
+            changelog=changelog,
+        )
+
+    writer = source.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    q = writer.start()
+    if not available_now:  # pragma: no cover - tail mode returns the handle
+        return {"query": q}
+    q.awaitTermination(timeout_s)
+
+    # refresh the flat per-run views so downstream consumers of the batch
+    # layout (and the report below) see the post-retraction state
+    edges_dir = os.path.join(workdir, "match_edges")
+    entities_dir = os.path.join(workdir, "entities")
+    read_match_edges_indexed(spark, workdir, n_buckets).write.mode(
+        "overwrite"
+    ).parquet(edges_dir)
+    read_entities_indexed(spark, workdir, n_buckets).write.mode(
+        "overwrite"
+    ).parquet(entities_dir)
+
+    def _rows(p) -> int:
+        try:
+            return int(p["numInputRows"])
+        except (TypeError, KeyError):
+            return int(getattr(p, "numInputRows", 0) or 0)
+
+    n_batches = len([p for p in q.recentProgress if p is not None and _rows(p)])
+    edges = spark.read.parquet(edges_dir)
+    return {
+        "micro_batches": n_batches,
+        "offers": read_corpus_indexed(spark, workdir, n_buckets).count(),
+        "scored_pairs_cached": read_score_cache_indexed(
+            spark, workdir, n_buckets
+        ).count(),
+        "valid_pairs": edges.count(),
+        "match_edges": edges.where("match").count(),
+        "entities": spark.read.parquet(entities_dir)
+        .select("entity_id")
+        .distinct()
+        .count(),
+    }

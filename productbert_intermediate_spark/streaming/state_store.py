@@ -84,6 +84,19 @@ class VersionedState:
             ptr["batch_id"]
         )
 
+    def last_retract_batch_id(self) -> int | None:
+        """Replay guard for the RETRACTION stream, namespaced apart from the
+        insert stream's ``batch_id``: the two feeds run off separate
+        streaming checkpoints, so their foreachBatch counters both start at
+        0 and would collide in one pointer field — a crash-replay of insert
+        batch N must not be skipped because retraction batch N committed."""
+        ptr = self._pointer()
+        return (
+            None
+            if ptr is None or ptr.get("retract_batch_id") is None
+            else int(ptr["retract_batch_id"])
+        )
+
     def in_progress_version(self) -> int:
         """The version number a ``begin()``-ed transaction will commit as —
         the state's COMMIT SEQUENCE: unique and monotone across every
@@ -101,17 +114,30 @@ class VersionedState:
         shutil.rmtree(nxt, ignore_errors=True)
         os.makedirs(nxt)
 
-    def commit(self, batch_id: int | None = None) -> None:
+    def commit(
+        self,
+        batch_id: int | None = None,
+        retract_batch_id: int | None = None,
+    ) -> None:
         assert self._next is not None, "commit() without begin()"
+        # a commit sets at most one stream's replay guard; the other (and
+        # any out-of-band commit's None) carries forward, so e.g. a user
+        # retraction between stream micro-batches never erases the insert
+        # stream's guard — a foreachBatch replay still short-circuits
         if batch_id is None:
-            # an out-of-band commit (e.g. a user retraction between stream
-            # micro-batches) must not erase the replay guard: carry the last
-            # stream batch id forward so a foreachBatch replay of that batch
-            # still short-circuits
             batch_id = self.last_batch_id()
+        if retract_batch_id is None:
+            retract_batch_id = self.last_retract_batch_id()
         tmp = os.path.join(self.root, CURRENT + ".tmp")
         with open(tmp, "w") as f:
-            json.dump({"version": self._next, "batch_id": batch_id}, f)
+            json.dump(
+                {
+                    "version": self._next,
+                    "batch_id": batch_id,
+                    "retract_batch_id": retract_batch_id,
+                },
+                f,
+            )
         os.replace(tmp, os.path.join(self.root, CURRENT))  # atomic
         committed = self._next
         self._next = None

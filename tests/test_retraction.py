@@ -154,7 +154,10 @@ def test_retract_replay_and_unknown_ids_are_noops(spark, tmp_path):
         spark, _ids(spark, 10), wd, batch_id=7, blocking_params=BP
     )
     v = state.current_version()
-    assert state.last_batch_id() == 7
+    # retraction replay ids live in their own pointer field; the insert
+    # stream's guard (batch 0) is untouched
+    assert state.last_retract_batch_id() == 7
+    assert state.last_batch_id() == 0
     edges = _rows(read_match_edges_indexed(spark, wd))
 
     resolve_batch_retract(  # replay of the committed retraction
@@ -167,9 +170,10 @@ def test_retract_replay_and_unknown_ids_are_noops(spark, tmp_path):
     assert state.current_version() == v
     assert _rows(read_match_edges_indexed(spark, wd)) == edges
 
-    # out-of-band retraction: pointer keeps the stream's replay guard
+    # out-of-band retraction (no batch id): BOTH replay guards carry over
     resolve_batch_retract(spark, _ids(spark, 11), wd, blocking_params=BP)
-    assert state.last_batch_id() == 7
+    assert state.last_batch_id() == 0
+    assert state.last_retract_batch_id() == 7
 
 
 def test_upsert_rescores_changed_content_exactly(spark, tmp_path):
@@ -348,6 +352,151 @@ def test_changelog_keys_survive_interleaved_retraction(spark, tmp_path):
     )
     bad = joined.where("n_new <> n").collect()
     assert not bad, bad
+
+
+def _land_offer_drops(spark, root, drops):
+    """Write each drops[i] (list of (id, title)) as one parquet file in a
+    landing dir with strictly increasing mtimes."""
+    import time
+
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate(drops):
+        stage = os.path.join(root, f"stage{i}")
+        _offers(spark, rows).coalesce(1).write.mode("overwrite").parquet(stage)
+        src = next(
+            p for p in sorted(os.listdir(stage)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(landing, f"drop-{i:04d}.parquet")
+        shutil.move(os.path.join(stage, src), dst)
+        os.utime(dst, (now - 600 + i * 10, now - 600 + i * 10))
+        shutil.rmtree(stage)
+    return landing
+
+
+def test_streaming_upsert_mode_applies_recrawled_content(spark, tmp_path):
+    """upsert=True through the real readStream machinery: a later drop
+    re-offering a seen id with CHANGED content replaces it (retract +
+    re-insert per micro-batch), and the final state equals a from-scratch
+    run over the updated corpus; the default insert mode on the same drops
+    keeps the first version (append-only semantics)."""
+    from productbert_intermediate_spark.streaming.incremental_er import (
+        run_incremental_er_offers,
+    )
+
+    drops = [
+        [
+            (1, "zephyr alpha one"),
+            (2, "zephyr alpha two"),
+            (10, "quartz filler ten"),
+        ],
+        [
+            (2, "quartz filler twenty"),  # re-crawl: content changed
+            (7, "zephyr alpha seven"),  # new
+        ],
+    ]
+
+    up_root = str(tmp_path / "up")
+    landing = _land_offer_drops(spark, up_root, drops)
+    report = run_incremental_er_offers(
+        spark,
+        landing,
+        os.path.join(up_root, "work"),
+        blocking_params=BP,
+        indexed=True,
+        upsert=True,
+    )
+    wd = os.path.join(up_root, "work")
+    cur = read_corpus_indexed(spark, wd)
+    titles = {r["id"]: r["title"] for r in cur.collect()}
+    assert titles[2] == "quartz filler twenty"
+    assert report["offers"] == 4  # resolved corpus, not the ingest log
+    ref_scored, ref_entities = _from_scratch(cur)
+    assert _rows(read_match_edges_indexed(spark, wd)) == _rows(ref_scored)
+    assert _rows(read_entities_indexed(spark, wd)) == _rows(ref_entities)
+
+    # default insert mode: the re-offer is ignored, v1 content stands
+    ins_root = str(tmp_path / "ins")
+    landing2 = _land_offer_drops(spark, ins_root, drops)
+    run_incremental_er_offers(
+        spark,
+        landing2,
+        os.path.join(ins_root, "work"),
+        blocking_params=BP,
+        indexed=True,
+    )
+    t2 = {
+        r["id"]: r["title"]
+        for r in read_corpus_indexed(
+            spark, os.path.join(ins_root, "work")
+        ).collect()
+    }
+    assert t2[2] == "zephyr alpha two"
+
+    # upsert without the index is a contract error, not silent foldback
+    with pytest.raises(ValueError):
+        run_incremental_er_offers(
+            spark,
+            landing,
+            os.path.join(up_root, "work2"),
+            indexed=False,
+            upsert=True,
+        )
+
+
+def test_streaming_tombstone_feed_retracts_exactly(spark, tmp_path):
+    """run_incremental_retractions: tombstone drops drained through real
+    readStream machinery, each micro-batch folding a retraction; the final
+    state equals from-scratch on the survivors, a catch-up rerun processes
+    only new files, and both streams' replay guards stay namespaced."""
+    import time
+
+    from productbert_intermediate_spark.streaming.incremental_er import (
+        run_incremental_retractions,
+    )
+
+    root = str(tmp_path)
+    wd = os.path.join(root, "work")
+    resolve_batch_indexed(
+        spark, _offers(spark, BRIDGE), wd, batch_id=0, blocking_params=BP
+    )
+
+    tomb = os.path.join(root, "tombstones")
+    os.makedirs(tomb)
+    now = time.time()
+    for i, ids in enumerate([(2,), (12, 999)]):  # bridge, then one absent id
+        stage = os.path.join(root, f"tstage{i}")
+        _ids(spark, *ids).coalesce(1).write.mode("overwrite").parquet(stage)
+        src = next(
+            p for p in sorted(os.listdir(stage)) if p.endswith(".parquet")
+        )
+        dst = os.path.join(tomb, f"drop-{i:04d}.parquet")
+        shutil.move(os.path.join(stage, src), dst)
+        os.utime(dst, (now - 600 + i * 10, now - 600 + i * 10))
+        shutil.rmtree(stage)
+
+    report = run_incremental_retractions(spark, tomb, wd, blocking_params=BP)
+    assert report["micro_batches"] == 2
+    assert report["offers"] == 5
+
+    survivors = _offers(spark, [r for r in BRIDGE if r[0] not in (2, 12)])
+    ref_scored, ref_entities = _from_scratch(survivors)
+    assert _rows(read_match_edges_indexed(spark, wd)) == _rows(ref_scored)
+    assert _rows(read_entities_indexed(spark, wd)) == _rows(ref_entities)
+    # the flat per-run views were refreshed to the post-retraction state
+    assert _rows(spark.read.parquet(f"{wd}/entities")) == _rows(ref_entities)
+
+    state = VersionedState(spark, os.path.join(wd, "index"))
+    assert state.last_batch_id() == 0  # offers stream guard untouched
+    assert state.last_retract_batch_id() is not None
+
+    # catch-up rerun: nothing new landed, nothing reprocessed
+    v = state.current_version()
+    report2 = run_incremental_retractions(spark, tomb, wd, blocking_params=BP)
+    assert report2["micro_batches"] == 0
+    assert state.current_version() == v
+    assert report2["entities"] == report["entities"]
 
 
 def test_retract_keeps_surviving_entities_stable_ids(spark, tmp_path):
