@@ -1934,12 +1934,18 @@ def q_er_score_pairs_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jvm_scorer_oracle_sql(docs_pred: str = "") -> str:
+def _jvm_scorer_oracle_sql(docs_pred: str = "", text_expr: str = "") -> str:
     """``docs_pred``: extra SQL appended to the docs scope (e.g. a
-    retraction predicate) — the WHOLE pipeline arithmetic then recomputes
-    over that corpus, dfs and group sizes included, which is exactly the
-    from-scratch semantics the retraction path must equal."""
+    retraction predicate); ``text_expr``: a replacement expression for the
+    text column (e.g. a re-crawl CASE) — the WHOLE pipeline arithmetic then
+    recomputes over that corpus, dfs and group sizes included, which is
+    exactly the from-scratch semantics the retraction/upsert paths must
+    equal. The ASCII scope filter stays on the ORIGINAL text (the WHERE
+    sees table columns, REPLACE rewrites output), matching the Spark side,
+    which scopes before applying the re-crawl."""
     from ..operators.scoring import DEFAULT_WEIGHTS as _W
+
+    replace = f" replace ({text_expr} as text)" if text_expr else ""
 
     # brand/price are NULL on this corpus → both features are the constant
     # 0.5 neutral value; their weighted terms are folded in the same
@@ -1948,7 +1954,7 @@ def _jvm_scorer_oracle_sql(docs_pred: str = "") -> str:
     return rf"""
 with docs as (
   -- ASCII scope (see q_er_score_pairs_jvm): byte == codepoint levenshtein
-  select * from documents
+  select *{replace} from documents
   where octet_length(encode(text)) = length(text){docs_pred}
 ), tok as (
   select doc_id, coalesce(source, chr(0) || '<null>') as source,
@@ -2179,6 +2185,71 @@ def q_er_retract_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_entities_indexed(spark, wd)
 
 
+_UPSERT_SUFFIX = " v2 recrawl"
+
+
+def q_er_upsert_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl upsert over the indexed incremental-ER state
+    (streaming/incremental_er.resolve_batch_upsert) under the driver's hard
+    signal: fold the ASCII-scoped offer corpus as batch 0, then upsert a
+    batch re-offering every ``doc_id % 5 == 0`` document with CHANGED text
+    (an appended ASCII marker) alongside every ``doc_id % 5 == 1`` document
+    byte-identical. Changed ids must be retracted first (index rows, cached
+    pair scores, candidate pairs, component membership) and re-scored
+    against the NEW content; byte-identical ids must be skipped entirely
+    (the content-hash probe — no retraction version opens for them). The
+    oracle recomputes the WHOLE pipeline — dfs, group sizes, blocks,
+    scores, closure — over the re-crawled corpus via a text-REPLACE
+    expression, so the maintained-state-equals-from-scratch invariant under
+    content updates is hash-checked end to end."""
+    import shutil
+
+    from ..operators.scoring import JVM_ONLY_WEIGHTS
+    from ..streaming.incremental_er import (
+        read_entities_indexed,
+        resolve_batch_indexed,
+        resolve_batch_upsert,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.length(F.encode(F.col("text"), "utf-8")) == F.length(F.col("text"))
+    )
+
+    def _project(d: DataFrame) -> DataFrame:
+        return d.select(
+            F.col("doc_id").alias("id"),
+            F.lit(None).cast("long").alias("cluster_id"),
+            F.col("source").alias("category"),
+            F.col("text").alias("title"),
+            F.lit(None).cast("string").alias("description"),
+            F.lit(None).cast("string").alias("brand"),
+            F.lit(None).cast("string").alias("price"),
+            F.lit(None).cast("string").alias("specTableContent"),
+        )
+
+    root = incr_er_scratch_root(spark, sf_dir) + "_upsert"
+    shutil.rmtree(root, ignore_errors=True)
+    wd = f"{root}/work"
+    bp = {"max_rare_df": 5, "max_block_size": 5, "use_lsh": False}
+    resolve_batch_indexed(
+        spark, _project(docs), wd, batch_id=0,
+        weights=JVM_ONLY_WEIGHTS, blocking_params=bp,
+    )
+    recrawl = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(_UPSERT_SUFFIX))
+    )
+    unchanged = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 1)
+    resolve_batch_upsert(
+        spark,
+        _project(recrawl.unionByName(unchanged)),
+        wd,
+        batch_id=1,
+        weights=JVM_ONLY_WEIGHTS,
+        blocking_params=bp,
+    )
+    return read_entities_indexed(spark, wd)
+
+
 def q_er_entities_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full pipeline tail — blocking → scoring → connected components →
     entity assignment — under the driver's hard signal: match edges come
@@ -2198,10 +2269,10 @@ def q_er_entities_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_entities(docs, scored.where("match = 1"))
 
 
-def _jvm_entities_oracle_sql(docs_pred: str = "") -> str:
+def _jvm_entities_oracle_sql(docs_pred: str = "", text_expr: str = "") -> str:
     return f"""
 with recursive scored as (
-{_jvm_scorer_oracle_sql(docs_pred)}
+{_jvm_scorer_oracle_sql(docs_pred, text_expr)}
 ), docs2 as (
   select doc_id from documents
   where octet_length(encode(text)) = length(text){docs_pred}
@@ -2225,6 +2296,15 @@ SQL_ER_ENTITIES_JVM = _jvm_entities_oracle_sql()
 # q_er_retract_entities: from-scratch closure over the SURVIVOR corpus —
 # the retraction predicate recomputes dfs/blocks/scores/closure under it
 SQL_ER_RETRACT_ENTITIES = _jvm_entities_oracle_sql(" and doc_id % 7 <> 3")
+# q_er_upsert_entities: from-scratch closure over the RE-CRAWLED corpus —
+# the text-REPLACE recomputes everything under the updated content
+SQL_ER_UPSERT_ENTITIES = _jvm_entities_oracle_sql(
+    text_expr=(
+        "case when doc_id % 5 = 0 then text || '"
+        + _UPSERT_SUFFIX
+        + "' else text end"
+    )
+)
 
 
 # --------------------------------------------------------------------------
@@ -2987,6 +3067,11 @@ REGISTRY: dict[str, tuple] = {
     "entity_changelog": (q_entity_changelog, SQL_ENTITY_CHANGELOG),
     "member_moves": (q_member_moves, SQL_MEMBER_MOVES),
     "apply_member_moves": (q_apply_member_moves, SQL_APPLY_MEMBER_MOVES),
+    # re-crawl upsert (round 5): composite of the two in-window lifecycle
+    # rows (er_retract_entities + er_incremental_entities), so it sits just
+    # past the window; its oracle recomputes the closure over the
+    # re-crawled corpus via a text-REPLACE and pytest hash-checks it
+    "er_upsert_entities": (q_er_upsert_entities, SQL_ER_UPSERT_ENTITIES),
     # oracles KEPT but outside the driver's 50-row window (still checked by
     # pytest's oracle suite every run, and by the driver if the window ever
     # widens): the rotated-out near-redundant rows above, then ann_topk —
