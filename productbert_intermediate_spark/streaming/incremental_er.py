@@ -747,12 +747,17 @@ def resolve_batch_upsert(
     retracted first, which evicts their cached pair scores, so the insert
     re-scores every pair they enter with the NEW content.
 
-    Crash story: the retraction commits its own version (carrying the last
-    stream batch id forward in the pointer), the insert commits with
+    Crash story: the retraction commits its own version (carrying both
+    replay-guard fields forward in the pointer), the insert commits with
     ``batch_id``. A replay after a crash in between finds the stale ids
     already gone (retract no-ops before opening a version) and re-runs the
     insert idempotently; a replay after full commit short-circuits on this
     function's batch-id guard before touching anything.
+
+    ``stable_ids``/``changelog`` apply to the INSERT step only: the
+    mid-upsert snapshot (content removed, not yet re-added) is an artifact,
+    so a consumer sees ONE net delta per upsert batch, computed against the
+    pre-upsert stable table.
     """
     from .blocking_index import SCH_OFFER_TOKENS
     from .state_store import VersionedState
