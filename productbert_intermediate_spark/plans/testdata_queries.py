@@ -3000,8 +3000,6 @@ REGISTRY: dict[str, tuple] = {
     "label_encode": (q_label_encode, SQL_LABEL_ENCODE),
     "histogram": (q_histogram, SQL_HISTOGRAM),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
-    "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
-    "det_shuffle": (q_det_shuffle, SQL_DET_SHUFFLE),
     "seeded_sample": (q_seeded_sample, SQL_SEEDED_SAMPLE),
     "blank_to_null_cast": (q_blank_to_null_cast, SQL_BLANK_TO_NULL_CAST),
     "stopword_removal": (q_stopword_removal, SQL_STOPWORD_REMOVAL),
@@ -3012,7 +3010,6 @@ REGISTRY: dict[str, tuple] = {
     "embedding_neardup": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP_PAIRS),
     "quality_score": (q_quality_score, SQL_QUALITY_SCORE),
     "token_count_bpe": (q_token_count_bpe, SQL_TOKEN_COUNT_BPE),
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "bert_wordpiece_encode": (q_bert_wordpiece_encode, SQL_BERT_WORDPIECE_ENCODE),
     "vocab_min_df": (q_vocab_min_df, SQL_VOCAB_MIN_DF),
@@ -3044,11 +3041,6 @@ REGISTRY: dict[str, tuple] = {
     # incremental (foreachBatch) ER end-to-end, held to the SAME independent
     # transitive-closure oracle as the batch tail (see the docstring)
     "er_incremental_entities": (q_er_incremental_entities, SQL_ER_ENTITIES_JVM),
-    # retraction over the indexed state (round 5): the deletion lifecycle
-    # event, held to the from-scratch closure over the SURVIVOR corpus —
-    # in-window in place of mlm_mask (P15, survey-out-of-scope; rotated to
-    # the pytest-only section below per the VERDICT r4 #2 rotation logic)
-    "er_retract_entities": (q_er_retract_entities, SQL_ER_RETRACT_ENTITIES),
     # entity consolidation + blocking/cluster evaluation + cross-run id
     # stability (round-4 capability, rotated INTO the driver window per
     # VERDICT r4 #2 in place of near-redundant rows: er_incremental_entities
@@ -3059,24 +3051,33 @@ REGISTRY: dict[str, tuple] = {
     "blocking_quality": (q_blocking_quality, _blocking_quality_sql()),
     "bcubed_cells": (q_bcubed_cells, SQL_BCUBED_CELLS),
     "stable_entity_ids": (q_stable_entity_ids, SQL_STABLE_ENTITY_IDS),
-    # entity changelog (round 5): the per-batch delta feed a consumer of a
-    # continuously-resolved corpus reads instead of the full entity table.
-    # Position 51 — just past the driver's 50-row window, which already
-    # holds one row per distinct capability; the pytest oracle suite
-    # hash-checks it every run (tests/test_driver_contract.py)
+    # round-5 crawl-lifecycle rows, rotated INTO the driver window (the
+    # VERDICT r4 #2 logic applied to this round's new capabilities):
+    # entity_changelog / member_moves / apply_member_moves are the
+    # per-batch delta feeds a consumer of a continuously-resolved corpus
+    # reads instead of the full entity table, and er_upsert_entities is the
+    # re-crawl event over the indexed incremental state — its oracle
+    # recomputes the WHOLE pipeline over the re-crawled corpus via a
+    # text-REPLACE, and its changed-id leg RETRACTS before re-scoring, so
+    # the retraction machinery (resolve_batch_retract) stays in-window
+    # through it even though er_retract_entities rotated out. Displaced:
+    # distinct_count (A3; COUNT DISTINCT, pytest-oracled),
+    # det_shuffle (W6; ORDER BY hash, pytest-oracled),
+    # doc_fingerprint (P8; exact_dedup holds the same normalize-then-group
+    # shape in-window), and er_retract_entities (subsumed as above).
     "entity_changelog": (q_entity_changelog, SQL_ENTITY_CHANGELOG),
     "member_moves": (q_member_moves, SQL_MEMBER_MOVES),
     "apply_member_moves": (q_apply_member_moves, SQL_APPLY_MEMBER_MOVES),
-    # re-crawl upsert (round 5): composite of the two in-window lifecycle
-    # rows (er_retract_entities + er_incremental_entities), so it sits just
-    # past the window; its oracle recomputes the closure over the
-    # re-crawled corpus via a text-REPLACE and pytest hash-checks it
     "er_upsert_entities": (q_er_upsert_entities, SQL_ER_UPSERT_ENTITIES),
     # oracles KEPT but outside the driver's 50-row window (still checked by
     # pytest's oracle suite every run, and by the driver if the window ever
     # widens): the rotated-out near-redundant rows above, then ann_topk —
     # whose brute-force semantics are driver-covered by ann_ivf_probeall
     # (probe-all ≡ exact over the same arithmetic) — and ann_cosine_matches
+    "er_retract_entities": (q_er_retract_entities, SQL_ER_RETRACT_ENTITIES),
+    "distinct_count": (q_distinct_count, SQL_DISTINCT_COUNT),
+    "det_shuffle": (q_det_shuffle, SQL_DET_SHUFFLE),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "er_entities_jvm": (q_er_entities_jvm, SQL_ER_ENTITIES_JVM),
     # mlm_mask (P15, survey-out-of-scope) rotated out of the window to make
     # room for er_retract_entities above; still oracle-checked every pytest
