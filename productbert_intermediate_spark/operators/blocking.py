@@ -271,6 +271,111 @@ def candidate_pairs_from_keys(
     return pairs.select("p.id_l", "p.id_r").distinct()
 
 
+def pair_budget_curve(
+    offers: DataFrame,
+    thresholds: tuple[int, ...] | list[int],
+    min_df: int = DEFAULT_MIN_DF,
+    max_df_frac: float = DEFAULT_MAX_DF_FRAC,
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+    group_col: str = "category",
+) -> DataFrame:
+    """Per ``max_rare_df`` threshold: EXACT pair-expansion cost of the
+    rare-token key family, from token dfs alone — no keys materialized, no
+    pairs expanded.
+
+    For a threshold t, every (group, token) key with
+    max(2, min_df) ≤ df ≤ min(t, max_block_size, max_df_frac·|group|)
+    expands to df·(df−1)/2 rows in candidate_pairs_from_keys (the
+    pre-``distinct`` output of the combination generator; keys past
+    max_block_size are dropped there, keys under 2 emit nothing). That
+    per-key sum — NOT the post-dedup distinct-pair count — is the cost a
+    budget must bound at web scale: it is the row count the pair-expansion
+    stage emits and the ``distinct`` must shuffle, the quantity that
+    explodes when a threshold is set generously on a 10^12-page corpus.
+
+    Returns one row per threshold that admits ≥1 key:
+    (max_rare_df, n_keys, est_pairs). Thresholds admitting no key emit no
+    row (callers treat absence as zero cost).
+
+    Scale: the same one-pass explode + groupBy df computation the blocking
+    stage itself runs, then an O(vocab × len(thresholds)) map-side explode
+    into a partial-aggregable groupBy on the tiny threshold key — no
+    global window, no driver collect.
+    """
+    ts = sorted({int(t) for t in thresholds})
+    if not ts:
+        raise ValueError("thresholds must be non-empty")
+    gn = "_gnorm"
+    base = build_title_for_ts(offers).withColumn(
+        gn, F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>"))
+    )
+    toks = base.select(gn, F.explode("tokens").alias("token"))
+    group_sizes = base.groupBy(gn).agg(F.count("*").alias("_n"))
+    eligible = (
+        toks.groupBy(gn, "token")
+        .agg(F.count("*").alias("df"))
+        .join(group_sizes, gn)
+        .where(
+            (F.col("df") >= F.lit(max(2, min_df)))
+            & (F.col("df") <= (F.col("_n") * F.lit(max_df_frac)))
+            & (F.col("df") <= F.lit(max_block_size))
+        )
+        .select("df")
+    )
+    return (
+        eligible.select(
+            F.explode(F.array(*[F.lit(t) for t in ts])).alias("max_rare_df"),
+            "df",
+        )
+        .where(F.col("df") <= F.col("max_rare_df"))
+        .groupBy("max_rare_df")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.expr("sum(df * (df - 1) DIV 2)").alias("est_pairs"),
+        )
+    )
+
+
+def choose_max_rare_df(
+    offers: DataFrame,
+    pair_budget: int,
+    thresholds: tuple[int, ...] | list[int] = (2, 3, 5, 8, 13, 21, 34, 55, 89),
+    min_df: int = DEFAULT_MIN_DF,
+    max_df_frac: float = DEFAULT_MAX_DF_FRAC,
+    max_block_size: int = DEFAULT_MAX_BLOCK_SIZE,
+    group_col: str = "category",
+) -> tuple[int, list[dict]]:
+    """Pick the largest candidate ``max_rare_df`` whose estimated rare-token
+    pair-expansion cost fits ``pair_budget``; returns (threshold, curve).
+
+    Recall grows with the threshold (every key admitted at t is admitted at
+    t' > t), so the largest affordable threshold dominates the smaller
+    ones. If even the smallest candidate exceeds the budget, that smallest
+    candidate is returned — blocking always needs SOME threshold; the
+    overrun is visible in the returned curve (est_pairs > pair_budget) and
+    it is the caller's decision to tighten max_block_size instead.
+
+    The collect is len(thresholds) rows — a planning decision, not a data
+    path. The curve is returned (and recorded by run_pipeline) so the
+    decision is auditable after the fact.
+    """
+    curve_df = pair_budget_curve(
+        offers, thresholds,
+        min_df=min_df, max_df_frac=max_df_frac,
+        max_block_size=max_block_size, group_col=group_col,
+    )
+    by_t = {int(r["max_rare_df"]): r.asDict() for r in curve_df.collect()}
+    ts = sorted({int(t) for t in thresholds})
+    curve = [
+        by_t.get(t, {"max_rare_df": t, "n_keys": 0, "est_pairs": 0})
+        for t in ts
+    ]
+    affordable = [
+        c["max_rare_df"] for c in curve if c["est_pairs"] <= pair_budget
+    ]
+    return (max(affordable) if affordable else ts[0]), curve
+
+
 def block_offers(
     offers: DataFrame,
     min_df: int = DEFAULT_MIN_DF,

@@ -52,6 +52,7 @@ def run_pipeline(
     offers_buckets: int | None = 0,
     salt_hot_ids: tuple[int, int] | None = None,
     stabilize_against: str | None = None,
+    pair_budget: int | None = None,
 ) -> dict:
     """Execute (or resume) the full pipeline; returns a run report dict.
 
@@ -95,6 +96,21 @@ def run_pipeline(
     workdir``, typically with ``force=True`` after the corpus grew) is
     supported: the previous assignment is snapshotted to stage
     ``entities_prev`` before any stage rebuild can overwrite it.
+
+    ``pair_budget=<max expansion rows>`` data-drives the rare-token
+    ``max_rare_df`` threshold instead of taking it as a constant:
+    blocking.choose_max_rare_df costs each candidate threshold EXACTLY
+    from token document frequencies (one tokenize + groupBy pass, no
+    pairs materialized) and picks the largest whose rare-token
+    pair-expansion row count fits the budget — the knob a 10^12-page run
+    tunes blindly today becomes a measured decision. The chosen threshold
+    and the full (threshold, n_keys, est_pairs) curve land in
+    ``report["stages"]["candidate_pairs"]`` and the stage manifest, so
+    the decision is auditable after the run. The planning pass runs only
+    when the stage actually rebuilds (the stage key carries the budget,
+    and the choice is a deterministic function of the checkpointed
+    offers, so a resume needs no re-plan). Mutually exclusive with an
+    explicit ``blocking_params["max_rare_df"]``.
     """
     weights = weights or S.DEFAULT_WEIGHTS
     bp = {
@@ -103,8 +119,14 @@ def run_pipeline(
         "max_block_size": B.DEFAULT_MAX_BLOCK_SIZE,
         "num_hashes": B.DEFAULT_NUM_HASHES,
         "bands": B.DEFAULT_BANDS,
+        "max_rare_df": None,
         **(blocking_params or {}),
     }
+    if pair_budget is not None and bp["max_rare_df"] is not None:
+        raise ValueError(
+            "pair_budget and blocking_params['max_rare_df'] both set — "
+            "the budget exists to choose max_rare_df; pass one or the other"
+        )
     cat = StageCatalog(spark, workdir)
     report: dict = {"stages": {}}
 
@@ -177,12 +199,13 @@ def run_pipeline(
 
     from ..operators.metrics_ops import MetricTracker
 
-    k_pairs = _params_key(parent=k_offers, **bp)
+    k_pairs = _params_key(parent=k_offers, pair_budget=pair_budget, **bp)
     # Dropped-block observability (no-silent-caps): the size cap forfeits
     # every pair inside an oversized block; these observe()-backed counters
     # ride the stage's own write job and land in the manifest entry, so the
     # recall trade is measurable per run instead of silent.
     block_tracker = MetricTracker()
+    budget_decision: dict = {}
 
     def _blocking_metrics() -> dict:
         block_tracker.harvest()
@@ -190,24 +213,47 @@ def run_pipeline(
             "blocking_dropped_keys": int(block_tracker.total("blocking_dropped_keys")),
             "blocking_dropped_rows": int(block_tracker.total("blocking_dropped_rows")),
             "blocking_dropped_pairs": int(block_tracker.total("blocking_dropped_pairs")),
+            **budget_decision,
         }
 
-    candidates, resumed = cat.write_or_resume(
-        "candidate_pairs",
-        lambda: B.block_offers(
+    def _build_candidates() -> DataFrame:
+        max_rare_df = bp["max_rare_df"]
+        if pair_budget is not None:
+            max_rare_df, curve = B.choose_max_rare_df(
+                offers,
+                pair_budget,
+                min_df=bp["min_df"],
+                max_df_frac=bp["max_df_frac"],
+                max_block_size=bp["max_block_size"],
+            )
+            budget_decision.update(
+                {
+                    "pair_budget": int(pair_budget),
+                    "chosen_max_rare_df": int(max_rare_df),
+                    "pair_budget_curve": [
+                        {k: int(v) for k, v in c.items()} for c in curve
+                    ],
+                }
+            )
+        return B.block_offers(
             offers,
             min_df=bp["min_df"],
             max_df_frac=bp["max_df_frac"],
+            max_rare_df=max_rare_df,
             max_block_size=bp["max_block_size"],
             num_hashes=bp["num_hashes"],
             bands=bp["bands"],
             tracker=block_tracker,
-        ),
+        )
+
+    candidates, resumed = cat.write_or_resume(
+        "candidate_pairs",
+        _build_candidates,
         params_key=k_pairs,
         force=force,
         extra_after=_blocking_metrics,
     )
-    report["stages"]["candidate_pairs"] = {"resumed": resumed}
+    report["stages"]["candidate_pairs"] = {"resumed": resumed, **budget_decision}
 
     n_offers = (cat.latest_entry("offers") or {}).get("rows")
 

@@ -202,3 +202,84 @@ def test_minhash_band_divisibility_guard(spark):
     )
     with _pytest.raises(ValueError):
         B.block_offers(offers, num_hashes=16, bands=5)
+
+
+def _bruteforce_dfs(offers_pdf):
+    """(group, token) → df over title_for_ts token sets, NULL category its
+    own group (matches build_title_for_ts + the _gnorm coalesce)."""
+    df_count = defaultdict(int)
+    group_n = defaultdict(int)
+    for _, row in offers_pdf.iterrows():
+        cat = row["category"] if pd.notna(row["category"]) else "\x00<null>"
+        group_n[cat] += 1
+        title = row["title"] or ""
+        desc5 = " ".join((row["description"] or "").split(" ")[:5])
+        for t in set((title + " " + desc5).lower().split()):
+            df_count[(cat, t)] += 1
+    return df_count, group_n
+
+
+def test_pair_budget_curve_matches_bruteforce(spark, fixtures_dir):
+    """est_pairs per threshold == sum over eligible (group, token) keys of
+    df·(df−1)/2 — the exact pre-distinct pair-expansion row count —
+    computed independently in pandas."""
+    offers = _offers(spark, fixtures_dir).cache()
+    thresholds = [2, 3, 5, 10, 50]
+    got = {
+        int(r["max_rare_df"]): (int(r["n_keys"]), int(r["est_pairs"]))
+        for r in B.pair_budget_curve(offers, thresholds).collect()
+    }
+
+    pdf = offers.select("id", "category", "title", "description").toPandas()
+    df_count, group_n = _bruteforce_dfs(pdf)
+    want = {}
+    for t in thresholds:
+        n_keys = est = 0
+        for (cat, _tok), df in df_count.items():
+            if 2 <= df <= min(t, 100, int(0.8 * group_n[cat])):
+                n_keys += 1
+                est += df * (df - 1) // 2
+        if n_keys:
+            want[t] = (n_keys, est)
+    assert got == want
+    # absence of a zero-key threshold row is part of the contract
+    assert set(got) == {t for t in thresholds if want.get(t)}
+
+
+def test_choose_max_rare_df_budget_logic(spark, fixtures_dir):
+    offers = _offers(spark, fixtures_dir).cache()
+    thresholds = (2, 5, 50)
+
+    # an effectively unlimited budget picks the largest threshold
+    chosen, curve = B.choose_max_rare_df(offers, 10**15, thresholds=thresholds)
+    assert chosen == 50
+    assert [c["max_rare_df"] for c in curve] == [2, 5, 50]
+    # curve is monotone in both columns (every key admitted at t is admitted at t' > t)
+    assert curve[0]["n_keys"] <= curve[1]["n_keys"] <= curve[2]["n_keys"]
+    assert curve[0]["est_pairs"] <= curve[1]["est_pairs"] <= curve[2]["est_pairs"]
+    assert curve[2]["est_pairs"] > 0
+
+    # the largest AFFORDABLE threshold wins, not the largest overall
+    mid_budget = curve[1]["est_pairs"]
+    chosen_mid, _ = B.choose_max_rare_df(offers, mid_budget, thresholds=thresholds)
+    assert chosen_mid == (50 if curve[2]["est_pairs"] <= mid_budget else 5)
+
+    # nothing affordable → smallest candidate, overrun visible in the curve
+    chosen0, curve0 = B.choose_max_rare_df(offers, 0, thresholds=thresholds)
+    assert chosen0 == 2
+    assert curve0[0]["est_pairs"] > 0
+
+
+def test_choose_max_rare_df_bounds_actual_expansion(spark, fixtures_dir):
+    """The chosen threshold's ACTUAL rare-token pair expansion (pre-distinct
+    combination rows) never exceeds est_pairs — the estimate is exact, so
+    the realized distinct-pair count is ≤ the budgeted cost."""
+    offers = _offers(spark, fixtures_dir).cache()
+    budget = 20_000
+    chosen, curve = B.choose_max_rare_df(offers, budget)
+    est = next(c["est_pairs"] for c in curve if c["max_rare_df"] == chosen)
+    assert est <= budget
+    pruned = B.prune_tokens_by_df(B.build_title_for_ts(offers))
+    keys = B.rare_token_keys(pruned, max_rare_df=chosen)
+    realized = B.candidate_pairs_from_keys(keys, max_block_size=100).count()
+    assert realized <= est

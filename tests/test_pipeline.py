@@ -468,3 +468,61 @@ def test_stabilize_against_missing_stage_raises(spark, tmp_path_factory):
             spark, empty, str(tmp_path_factory.mktemp("wd")),
             stabilize_against=empty,
         )
+
+
+def test_pair_budget_drives_max_rare_df(spark, fixtures_dir, tmp_path_factory):
+    """pair_budget picks max_rare_df from the measured cost curve, records
+    the auditable decision in report + manifest, and a resume skips the
+    planning pass (same stage key)."""
+    from productbert_intermediate_spark.operators import blocking as B
+
+    workdir = str(tmp_path_factory.mktemp("budget_run"))
+    budget = 50_000
+    report = run_pipeline(
+        spark, f"{fixtures_dir}/pages.parquet", workdir, pair_budget=budget
+    )
+    cp = report["stages"]["candidate_pairs"]
+    assert cp["pair_budget"] == budget
+    curve = cp["pair_budget_curve"]
+    chosen = cp["chosen_max_rare_df"]
+    affordable = [c["max_rare_df"] for c in curve if c["est_pairs"] <= budget]
+    assert chosen == (max(affordable) if affordable else curve[0]["max_rare_df"])
+    # decision persisted to the stage manifest, not just the in-memory report
+    entry = StageCatalog(spark, workdir).latest_entry("candidate_pairs")
+    assert entry["chosen_max_rare_df"] == chosen
+    assert entry["pair_budget_curve"] == curve
+
+    # candidates equal an explicit run at the chosen threshold
+    got = spark.read.parquet(f"{workdir}/candidate_pairs")
+    from productbert_intermediate_spark.operators.extract import extract_offers
+    from productbert_intermediate_spark.sources.readers import read_pages
+
+    offers = extract_offers(
+        read_pages(spark, f"{fixtures_dir}/pages.parquet")
+    ).where("id is not null")
+    want = B.block_offers(offers, max_rare_df=chosen)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # resume: same budget → stage resumes (no rebuild, no re-plan)
+    report2 = run_pipeline(
+        spark, f"{fixtures_dir}/pages.parquet", workdir, pair_budget=budget
+    )
+    assert report2["stages"]["candidate_pairs"]["resumed"]
+    # a different budget is a different stage key → rebuild
+    report3 = run_pipeline(
+        spark, f"{fixtures_dir}/pages.parquet", workdir, pair_budget=1
+    )
+    assert not report3["stages"]["candidate_pairs"]["resumed"]
+    assert report3["stages"]["candidate_pairs"]["chosen_max_rare_df"] == 2
+
+
+def test_pair_budget_conflicts_with_explicit_max_rare_df(spark, tmp_path_factory):
+    with pytest.raises(ValueError, match="pair_budget"):
+        run_pipeline(
+            spark,
+            "/nonexistent",
+            str(tmp_path_factory.mktemp("conflict")),
+            blocking_params={"max_rare_df": 10},
+            pair_budget=100,
+        )
