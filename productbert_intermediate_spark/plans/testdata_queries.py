@@ -1113,6 +1113,58 @@ from keyed a join keyed b
 """
 
 
+def q_pair_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking pair-budget planning curve (operators/blocking.
+    pair_budget_curve): the EXACT rare-token pair-expansion cost per
+    candidate max_rare_df threshold, computed from token document
+    frequencies alone — the planning pass run_pipeline(pair_budget=N)
+    uses to choose the threshold on an unseen corpus."""
+    from ..operators import blocking as B
+
+    docs = _t(spark, sf_dir, "documents")
+    offers = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("category"),
+        F.col("text").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+    )
+    curve = B.pair_budget_curve(offers, (2, 3, 5, 8, 13))
+    return curve.select(
+        "max_rare_df",
+        "n_keys",
+        F.col("est_pairs").cast("long").alias("est_pairs"),
+    )
+
+
+# same tok/grp/dfc pipeline as SQL_ER_BLOCKING_PAIRS (the curve prices
+# exactly the key family that query expands), then per-threshold sums of
+# df·(df−1)/2 over eligible keys; thresholds admitting no key emit no row
+SQL_PAIR_BUDGET_CURVE = rf"""
+with tok as (
+  select doc_id, coalesce(source, chr(0) || '<null>') as source,
+         unnest(list_distinct(
+           list_filter(regexp_split_to_array(lower(text), '{_WS}+'), x -> x <> '')
+         )) as t
+  from documents
+), grp as (
+  select coalesce(source, chr(0) || '<null>') as source, count(*) as n
+  from documents group by 1
+), eligible as (
+  select df from (
+    select tok.source as source, t, count(*) as df
+    from tok group by tok.source, t
+  ) dfc join grp on dfc.source = grp.source
+  where df >= 2 and df <= 0.8 * n and df <= 100
+)
+select th.max_rare_df,
+       cast(count(*) as bigint) as n_keys,
+       cast(sum(df * (df - 1) // 2) as bigint) as est_pairs
+from (select unnest([2, 3, 5, 8, 13]) as max_rare_df) th
+join eligible on eligible.df <= th.max_rare_df
+group by th.max_rare_df
+"""
+
+
 # --------------------------------------------------------------------------
 # A9 — vocabulary build (binary CountVectorizer(min_df) semantics)
 
@@ -3087,6 +3139,10 @@ REGISTRY: dict[str, tuple] = {
     "bert_pair_encode": (q_bert_pair_encode, SQL_BERT_PAIR_ENCODE),
     "ann_topk": (q_ann_topk, SQL_ANN_TOPK),
     "ann_cosine_matches": (q_ann_cosine_matches, SQL_ANN_COSINE_MATCHES),
+    # blocking pair-budget planning curve (round 5): the costing pass behind
+    # run_pipeline(pair_budget=N); er_blocking_pairs holds the expanded-key
+    # shape in-window, this prices it
+    "pair_budget_curve": (q_pair_budget_curve, SQL_PAIR_BUDGET_CURVE),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit
     # LAST deliberately: the driver's correctness window covers the first 50
     # registry entries, and every slot it spends on a rows-only query is an
