@@ -306,3 +306,85 @@ def bcubed_metrics(pred: DataFrame, truth: DataFrame) -> dict[str, float | None]
     p, r = row["p"] / row["n"], row["r"] / row["n"]
     f1 = 2 * p * r / (p + r) if (p + r) > 0 else None
     return {"bcubed_precision": p, "bcubed_recall": r, "bcubed_f1": f1}
+
+
+def pr_threshold_sweep(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 1000,
+) -> DataFrame:
+    """Precision/recall/F1 at EVERY candidate decision threshold in one
+    distributed pass — the sweep a user runs to pick the matcher cutoff
+    instead of inheriting the reference's hard-coded 0.5
+    (/root/reference/src/productbert/model/metric.py:29-33 fixes
+    ``sigmoid(logit) > 0.5``; choosing it from data needs this curve).
+
+    Scores (contract: in [0, 1]) are binned to ``n_bins`` fixed-width
+    buckets; the output has one row per OCCUPIED bin b with the exact
+    confusion counts of the rule ``score >= b / n_bins``:
+
+        threshold = b / n_bins, tp, fp, fn, precision, recall, f1
+
+    Scale shape: one partial-aggregable groupBy(bin) reduces the input to
+    at most n_bins + 1 rows, and only THAT bounded table flows through the
+    cumulative window — the no-partition window's single partition holds
+    O(n_bins) rows by construction, never O(input). All counts are exact
+    integers; the ratios are single IEEE divisions of exact counts, so the
+    curve hash-compares across engines and parallelism. tp + fp >= 1 on
+    every emitted row (the cumulative sum includes the row's own bin), so
+    precision needs no zero-guard; recall/f1 are NULL when the input has
+    no positives at all.
+    """
+    from pyspark.sql import Window
+
+    pos = F.col(label_col).cast("int")
+    per_bin = (
+        scored.groupBy(
+            F.floor(F.col(score_col) * n_bins).cast("long").alias("_bin")
+        )
+        .agg(
+            F.sum(pos).alias("_pos"),
+            F.sum(F.lit(1) - pos).alias("_neg"),
+        )
+    )
+    w_cum = Window.orderBy(F.desc("_bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy(F.desc("_bin")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tp = F.sum("_pos").over(w_cum)
+    fp = F.sum("_neg").over(w_cum)
+    total_pos = F.sum("_pos").over(w_all)
+    cum = per_bin.select(
+        (F.col("_bin") / F.lit(n_bins)).alias("threshold"),
+        tp.alias("tp"),
+        fp.alias("fp"),
+        (total_pos - tp).alias("fn"),
+        (tp / (tp + fp)).alias("precision"),
+        F.when(total_pos > 0, tp / total_pos).alias("recall"),
+    )
+    p, r = F.col("precision"), F.col("recall")
+    return cum.withColumn(
+        "f1", F.when(r.isNotNull() & (p + r > 0), 2 * p * r / (p + r))
+    )
+
+
+def best_threshold(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "label",
+    n_bins: int = 1000,
+) -> dict[str, float | int | None]:
+    """The F1-maximizing row of :func:`pr_threshold_sweep`, ties broken
+    toward the LOWEST threshold (maximal recall at equal F1) — both
+    engines and any partition count agree on the winner. One k-bounded
+    action (k = 1)."""
+    rows = (
+        pr_threshold_sweep(scored, score_col, label_col, n_bins)
+        .orderBy(F.desc_nulls_last("f1"), F.asc("threshold"))
+        .limit(1)
+        .collect()
+    )
+    return rows[0].asDict() if rows else {}

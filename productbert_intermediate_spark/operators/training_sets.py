@@ -373,6 +373,46 @@ def seeded_swap(pairs: DataFrame, seed: int = 42) -> DataFrame:
     ).drop("id_a", "id_b")
 
 
+def uncertainty_sample(
+    scored: DataFrame,
+    k: int,
+    score_col: str = "score",
+    key_cols: tuple[str, ...] = ("id_l", "id_r"),
+    boundary: float = 0.5,
+    per: str | None = None,
+) -> DataFrame:
+    """Active-learning pair selection: the k scored pairs NEAREST the
+    decision boundary — the rows whose human label most improves the next
+    matcher, the natural successor to the reference's one-shot heuristic
+    training set (build_intermediate_training_set.py builds pairs once;
+    iterating on a deployed matcher means labeling where it is unsure).
+
+    Deterministic by construction: total order (|score - boundary| asc,
+    *key_cols asc), so the same input yields the same sample at any
+    parallelism — the property every other sampler in this module pins
+    (seeded_swap, hard_random_counts). Output adds an ``uncertainty``
+    column so the labeling UI can show the margin.
+
+    Scale shape: global top-k compiles to TakeOrderedAndProject —
+    per-partition heaps merged on the driver, k rows moved, no full sort,
+    no single-partition exchange. With ``per`` set, selection is k per
+    stratum instead (a partitioned row_number window — one shuffle on the
+    stratum key), buying label diversity when one hub block would
+    otherwise monopolize the budget.
+    """
+    u = F.abs(F.col(score_col) - F.lit(boundary))
+    out = scored.withColumn("uncertainty", u)
+    order = [F.asc("uncertainty")] + [F.asc(c) for c in key_cols]
+    if per is None:
+        return out.orderBy(*order).limit(k)
+    w = Window.partitionBy(per).orderBy(*order)
+    return (
+        out.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def build_training_pairs(
     corpus: DataFrame,
     amount: int = 15,

@@ -1166,6 +1166,88 @@ group by th.max_rare_df
 
 
 # --------------------------------------------------------------------------
+# threshold-sweep PR curve + uncertainty sampling (round 5): the two halves
+# of the deploy-a-matcher loop the reference hard-codes away — it evaluates
+# at a fixed 0.5 cutoff (model/metric.py:29-33) and builds its training set
+# once. Scores here are a deterministic integer-arithmetic stand-in
+# ((vec_id * 2654435761) % 1000 / 1000.0 — exact and identical in both
+# engines) so the sweep/sampler machinery is what the oracle exercises, not
+# a particular matcher.
+
+def _pseudo_score():  # Column exprs need a live SparkContext → build lazily
+    return (F.col("vec_id") * F.lit(2654435761)) % F.lit(1000) / F.lit(1000.0)
+
+
+_SQL_PSEUDO_SCORE = "(vec_id * 2654435761) % 1000 / 1000.0"
+
+
+def q_pr_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR curve at every occupied score bin (operators/metrics_ops.
+    pr_threshold_sweep): exact cumulative confusion counts of the rule
+    score >= threshold, one row per bin, computed without a full sort —
+    the input collapses to <= n_bins rows BEFORE the cumulative window."""
+    from ..operators import metrics_ops as M
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select(
+        _pseudo_score().alias("score"), (F.col("label") % 2).alias("label")
+    )
+    return M.pr_threshold_sweep(scored, n_bins=100)
+
+
+SQL_PR_THRESHOLD_SWEEP = f"""
+with scored as (
+  select {_SQL_PSEUDO_SCORE} as score, label % 2 as label from embeddings
+), per_bin as (
+  select cast(floor(score * 100) as bigint) as bin,
+         sum(label) as pos, sum(1 - label) as neg
+  from scored group by 1
+), cum as (
+  select bin,
+         sum(pos) over (order by bin desc
+                        rows between unbounded preceding and current row) as tp,
+         sum(neg) over (order by bin desc
+                        rows between unbounded preceding and current row) as fp,
+         sum(pos) over () as total_pos
+  from per_bin
+)
+select bin / 100 as threshold,
+       cast(tp as bigint) as tp,
+       cast(fp as bigint) as fp,
+       cast(total_pos - tp as bigint) as fn,
+       tp / (tp + fp) as precision,
+       case when total_pos > 0 then tp / total_pos end as recall,
+       case when total_pos > 0
+                 and tp / (tp + fp) + tp / total_pos > 0
+            then 2 * (tp / (tp + fp)) * (tp / total_pos)
+                 / (tp / (tp + fp) + tp / total_pos)
+       end as f1
+from cum
+"""
+
+
+def q_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning selection (operators/training_sets.
+    uncertainty_sample): the 25 scored rows nearest the 0.5 decision
+    boundary, total-ordered (|score-0.5|, vec_id) so the sample is
+    identical at any parallelism; compiles to TakeOrderedAndProject
+    (per-partition heaps, k rows moved), not a global sort."""
+    from ..operators import training_sets as T
+
+    emb = _t(spark, sf_dir, "embeddings")
+    scored = emb.select("vec_id", _pseudo_score().alias("score"))
+    return T.uncertainty_sample(scored, 25, key_cols=("vec_id",))
+
+
+SQL_UNCERTAINTY_SAMPLE = f"""
+select vec_id, score, abs(score - 0.5) as uncertainty
+from (select vec_id, {_SQL_PSEUDO_SCORE} as score from embeddings)
+order by uncertainty, vec_id
+limit 25
+"""
+
+
+# --------------------------------------------------------------------------
 # A9 — vocabulary build (binary CountVectorizer(min_df) semantics)
 
 
@@ -3143,6 +3225,10 @@ REGISTRY: dict[str, tuple] = {
     # run_pipeline(pair_budget=N); er_blocking_pairs holds the expanded-key
     # shape in-window, this prices it
     "pair_budget_curve": (q_pair_budget_curve, SQL_PAIR_BUDGET_CURVE),
+    # matcher-lifecycle loop (round 5): pick the cutoff from data, then
+    # pick the next labels from the model's uncertainty band
+    "pr_threshold_sweep": (q_pr_threshold_sweep, SQL_PR_THRESHOLD_SWEEP),
+    "uncertainty_sample": (q_uncertainty_sample, SQL_UNCERTAINTY_SAMPLE),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit
     # LAST deliberately: the driver's correctness window covers the first 50
     # registry entries, and every slot it spends on a rows-only query is an

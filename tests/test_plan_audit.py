@@ -27,11 +27,15 @@ NLJ_ALLOWED = {"ann_cosine_matches", "ann_topk"}
 #    (operators/ids.py), not over the keys (verified: the only
 #    SinglePartition in stable_entity_ids' plan sits over the
 #    HashAggregate(keys=[_pid]) per-partition counts).
+#  - pr_threshold_sweep: the cumulative window runs over the groupBy(bin)
+#    output — at most n_bins + 1 rows by construction (the partial aggs
+#    that reduce the input to it are map-side and parallel), never O(input).
 SINGLE_PARTITION_ALLOWED = {
     "confusion_matrix",
     "label_encode",
     "fk_surrogate_join",
     "stable_entity_ids",
+    "pr_threshold_sweep",
 }
 
 
