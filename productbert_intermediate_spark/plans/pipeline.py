@@ -404,6 +404,43 @@ def run_pipeline(
             "metric string, value double",
         )
         cat.write("metrics", mdf, params_key=k_ent)
+
+        # threshold sweep over the scorer's raw scores on the labeled
+        # pairs: instead of inheriting the fixed 0.5 cutoff, report the
+        # full PR curve and the F1-max threshold so the next run can set
+        # it from data. Only pairs the blocker surfaced carry a score —
+        # labeled pairs blocking missed are the blocker's recall loss
+        # (report["bcubed_eval"] / blocking_quality's axis), not the
+        # cutoff's, so they are rightly absent here. Scale shape: one
+        # orientation-normalized equi-join, then the bounded-window sweep.
+        from ..operators.metrics_ops import pr_threshold_sweep
+
+        lab_scored = scored.select(
+            F.least("id_l", "id_r").alias("u"),
+            F.greatest("id_l", "id_r").alias("v"),
+            "score",
+        ).join(
+            labeled.select(
+                F.least("id_left", "id_right").alias("u"),
+                F.greatest("id_left", "id_right").alias("v"),
+                "label",
+            ),
+            ["u", "v"],
+        )
+        curve = pr_threshold_sweep(lab_scored)
+        cat.write("threshold_curve", curve, params_key=k_ent)
+        # best row from the checkpointed curve (same tie-break as
+        # metrics_ops.best_threshold: F1-max, lowest threshold wins)
+        best = (
+            cat.read("threshold_curve")
+            .orderBy(F.desc_nulls_last("f1"), F.asc("threshold"))
+            .limit(1)
+            .collect()
+        )
+        report["threshold_eval"] = {
+            "n_labeled_scored": lab_scored.count(),
+            "best": best[0].asDict() if best else {},
+        }
     return report
 
 

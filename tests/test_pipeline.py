@@ -29,6 +29,36 @@ def test_pairwise_f1_gate(e2e_run):
     assert f1 is not None and f1 >= 0.99, report["pairwise_eval"]
 
 
+def test_labeled_run_reports_threshold_sweep(spark, e2e_run):
+    """The labeled run ships a threshold_curve stage and the F1-max
+    cutoff: the curve's counts must be consistent (tp+fn constant =
+    labeled positives the blocker surfaced) and the reported best row
+    must dominate every other curve row on F1."""
+    workdir, report = e2e_run
+    te = report["threshold_eval"]
+    assert te["n_labeled_scored"] > 0
+    best = te["best"]
+    assert 0.0 <= best["threshold"] <= 1.0
+
+    curve = StageCatalog(spark, workdir).read("threshold_curve").collect()
+    assert len(curve) >= 1
+    totals = {r["tp"] + r["fn"] for r in curve}
+    assert len(totals) == 1  # every threshold sees the same positives
+    f1s = [r["f1"] for r in curve if r["f1"] is not None]
+    assert best["f1"] == max(f1s)
+    # ties break toward the LOWEST threshold (metrics_ops.best_threshold)
+    assert best["threshold"] == min(
+        r["threshold"] for r in curve if r["f1"] == best["f1"]
+    )
+    # the e2e corpus is cleanly separable (F1 gate above): the data-chosen
+    # cutoff must do at least as well as the inherited 0.5 on scored pairs
+    at_half = max(
+        (r for r in curve if r["threshold"] <= 0.5),
+        key=lambda r: r["threshold"],
+    )
+    assert best["f1"] >= (at_half["f1"] or 0.0)
+
+
 @pytest.fixture(scope="module")
 def e2e_encoder_run(spark, e2e_dir, tmp_path_factory):
     """Same corpus, transformer-shaped scorer, its own workdir (the shared
