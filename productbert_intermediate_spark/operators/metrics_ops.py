@@ -371,6 +371,70 @@ def pr_threshold_sweep(
     )
 
 
+def score_drift_cells(
+    current: DataFrame,
+    baseline: DataFrame,
+    score_col: str = "score",
+    n_bins: int = 100,
+) -> DataFrame:
+    """Exact per-bin histogram cells of two score snapshots — the raw
+    material for monitoring a deployed matcher: when the score
+    distribution drifts off the one the threshold was swept on
+    (pr_threshold_sweep), it is time to re-label (uncertainty_sample)
+    and recalibrate. One row per bin occupied in EITHER snapshot
+    (full-outer on bin, absent side zero-filled):
+
+        bin, n_current, n_baseline
+
+    All exact integers, so the table hash-compares across engines and
+    parallelism. Scale shape: two partial-aggregable groupBy(bin) passes
+    and one join over <= n_bins + 1 rows per side; nothing driver-side.
+    """
+
+    def binned(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(
+            F.floor(F.col(score_col) * n_bins).cast("long").alias("bin")
+        ).agg(F.count("*").alias(name))
+
+    return (
+        binned(current, "n_current")
+        .join(binned(baseline, "n_baseline"), "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_current", F.lit(0)).alias("n_current"),
+            F.coalesce("n_baseline", F.lit(0)).alias("n_baseline"),
+        )
+    )
+
+
+def population_stability_index(
+    current: DataFrame,
+    baseline: DataFrame,
+    score_col: str = "score",
+    n_bins: int = 100,
+    epsilon: float = 1e-6,
+) -> float | None:
+    """PSI over :func:`score_drift_cells` — the standard drift scalar
+    (rule of thumb: < 0.1 stable, 0.1-0.25 drifting, > 0.25 act). Zero
+    cells are epsilon-smoothed so a bin appearing/disappearing scores a
+    large-but-finite contribution. The collect is k-bounded: <= n_bins + 1
+    rows for scores in [0, 1]. Returns None when either snapshot is empty
+    (no distribution to compare)."""
+    import math
+
+    cells = score_drift_cells(current, baseline, score_col, n_bins).collect()
+    tot_c = sum(r["n_current"] for r in cells)
+    tot_b = sum(r["n_baseline"] for r in cells)
+    if not tot_c or not tot_b:
+        return None
+    psi = 0.0
+    for r in cells:
+        p = max(r["n_current"] / tot_c, epsilon)
+        q = max(r["n_baseline"] / tot_b, epsilon)
+        psi += (p - q) * math.log(p / q)
+    return psi
+
+
 def best_threshold(
     scored: DataFrame,
     score_col: str = "score",

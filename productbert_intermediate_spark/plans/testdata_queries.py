@@ -1247,6 +1247,43 @@ limit 25
 """
 
 
+def q_score_drift_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deployed-matcher drift monitoring (operators/metrics_ops.
+    score_drift_cells): exact per-bin counts of two score snapshots,
+    full-outer on bin with absent sides zero-filled — the integer cells
+    population_stability_index reduces to a PSI scalar. The two
+    snapshots here are two different deterministic hashes of vec_id, so
+    their per-bin counts differ and both join sides are exercised."""
+    from ..operators import metrics_ops as M
+
+    emb = _t(spark, sf_dir, "embeddings")
+    current = emb.select(_pseudo_score().alias("score"))
+    baseline = emb.where(F.col("vec_id") % 7 != 0).select(
+        ((F.col("vec_id") * F.lit(48271)) % F.lit(1000) / F.lit(1000.0)).alias(
+            "score"
+        )
+    )
+    return M.score_drift_cells(current, baseline, n_bins=20)
+
+
+SQL_SCORE_DRIFT_CELLS = f"""
+with cur as (
+  select cast(floor(score * 20) as bigint) as bin, count(*) as n_current
+  from (select {_SQL_PSEUDO_SCORE} as score from embeddings) group by 1
+), base as (
+  select cast(floor(score * 20) as bigint) as bin, count(*) as n_baseline
+  from (
+    select (vec_id * 48271) % 1000 / 1000.0 as score
+    from embeddings where vec_id % 7 <> 0
+  ) group by 1
+)
+select coalesce(cur.bin, base.bin) as bin,
+       coalesce(n_current, 0) as n_current,
+       coalesce(n_baseline, 0) as n_baseline
+from cur full outer join base on cur.bin = base.bin
+"""
+
+
 # --------------------------------------------------------------------------
 # A9 — vocabulary build (binary CountVectorizer(min_df) semantics)
 
@@ -3229,6 +3266,7 @@ REGISTRY: dict[str, tuple] = {
     # pick the next labels from the model's uncertainty band
     "pr_threshold_sweep": (q_pr_threshold_sweep, SQL_PR_THRESHOLD_SWEEP),
     "uncertainty_sample": (q_uncertainty_sample, SQL_UNCERTAINTY_SAMPLE),
+    "score_drift_cells": (q_score_drift_cells, SQL_SCORE_DRIFT_CELLS),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit
     # LAST deliberately: the driver's correctness window covers the first 50
     # registry entries, and every slot it spends on a rows-only query is an

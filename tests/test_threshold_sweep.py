@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 
 from productbert_intermediate_spark.operators.metrics_ops import (
     best_threshold,
+    population_stability_index,
     pr_threshold_sweep,
+    score_drift_cells,
 )
 from productbert_intermediate_spark.operators.training_sets import (
     uncertainty_sample,
@@ -83,6 +85,29 @@ def test_best_threshold_ties_break_low(spark):
     best2 = best_threshold(df2, n_bins=10)
     assert best2["f1"] == 1.0
     assert best2["threshold"] == 0.7  # 0.9 row ties at f1=1.0; lower wins
+
+
+def test_score_drift_cells_zero_fill_both_sides(spark):
+    cur = spark.createDataFrame([(0.05,), (0.05,), (0.95,)], "score double")
+    base = spark.createDataFrame([(0.05,), (0.55,)], "score double")
+    got = {
+        r["bin"]: (r["n_current"], r["n_baseline"])
+        for r in score_drift_cells(cur, base, n_bins=10).collect()
+    }
+    # bin 9 only in current, bin 5 only in baseline — both zero-filled
+    assert got == {0: (2, 1), 5: (0, 1), 9: (1, 0)}
+
+
+def test_psi_identical_is_zero_and_shift_is_positive(spark):
+    a = spark.createDataFrame([(i / 100,) for i in range(100)], "score double")
+    assert population_stability_index(a, a, n_bins=10) == 0.0
+    # all mass moved into the top decile: large PSI
+    b = spark.createDataFrame([(0.95,)] * 100, "score double")
+    psi = population_stability_index(b, a, n_bins=10)
+    assert psi is not None and psi > 0.25
+    # empty side → None, not a crash
+    empty = a.where("score < 0")
+    assert population_stability_index(empty, a, n_bins=10) is None
 
 
 def test_uncertainty_sample_global_deterministic(spark):
