@@ -1113,6 +1113,75 @@ from keyed a join keyed b
 """
 
 
+def q_er_link_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean-clean record linkage blocking (operators/linkage.
+    link_candidate_pairs): candidate pairs ACROSS two sources only —
+    documents split into two halves stand in for two separately-curated
+    tables; token dfs run over the union, keys are the same df-bounded
+    rare-token family as er_blocking_pairs, and a key expands only when
+    it has ids on BOTH sides with n_l*n_r within the pair cap. The split
+    is (doc_id div 20) % 2, NOT doc_id parity: the generator assigns
+    source = src{doc_id % 20}, so a parity split would put every source
+    group wholly on one side and the cross-only invariant would make the
+    result trivially empty — this split alternates sides WITHIN every
+    source group."""
+    from ..operators.linkage import link_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    offers = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("category"),
+        F.col("text").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+    )
+    side = F.expr("(id div 20) % 2")
+    return link_candidate_pairs(
+        offers.where(side == 0),
+        offers.where(side == 1),
+        max_rare_df=5,
+        max_block_pairs=25,
+        use_lsh=False,
+    )
+
+
+# same tok/grp/dfc chain as SQL_ER_BLOCKING_PAIRS (dfs over the UNION of
+# both sides = over all documents), then keys gated on having ids on both
+# parities with n_l*n_r <= 25, expanded as cross-side pairs only
+SQL_ER_LINK_PAIRS = rf"""
+with tok as (
+  select doc_id, coalesce(source, chr(0) || '<null>') as source,
+         unnest(list_distinct(
+           list_filter(regexp_split_to_array(lower(text), '{_WS}+'), x -> x <> '')
+         )) as t
+  from documents
+), grp as (
+  select coalesce(source, chr(0) || '<null>') as source, count(*) as n
+  from documents group by 1
+), dfc as (
+  select tok.source, t, count(*) as df
+  from tok group by tok.source, t
+), kept as (
+  select dfc.source as source, dfc.t as t
+  from dfc join grp on dfc.source = grp.source
+  where df >= 2 and df <= least(5, cast(floor(0.8 * n) as bigint))
+), keyed as (
+  select tok.doc_id as doc_id, tok.source as source, tok.t as t from tok
+  join kept on tok.source = kept.source and tok.t = kept.t
+), gated as (
+  select source, t from keyed group by source, t
+  having count(distinct case when (doc_id // 20) % 2 = 0 then doc_id end) >= 1
+     and count(distinct case when (doc_id // 20) % 2 = 1 then doc_id end) >= 1
+     and count(distinct case when (doc_id // 20) % 2 = 0 then doc_id end)
+         * count(distinct case when (doc_id // 20) % 2 = 1 then doc_id end) <= 25
+)
+select distinct a.doc_id as id_l, b.doc_id as id_r
+from keyed a
+join gated on a.source = gated.source and a.t = gated.t
+join keyed b on a.source = b.source and a.t = b.t
+where (a.doc_id // 20) % 2 = 0 and (b.doc_id // 20) % 2 = 1
+"""
+
+
 def q_pair_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking pair-budget planning curve (operators/blocking.
     pair_budget_curve): the EXACT rare-token pair-expansion cost per
@@ -3267,6 +3336,9 @@ REGISTRY: dict[str, tuple] = {
     "pr_threshold_sweep": (q_pr_threshold_sweep, SQL_PR_THRESHOLD_SWEEP),
     "uncertainty_sample": (q_uncertainty_sample, SQL_UNCERTAINTY_SAMPLE),
     "score_drift_cells": (q_score_drift_cells, SQL_SCORE_DRIFT_CELLS),
+    # clean-clean record linkage (round 5): cross-source-only blocking,
+    # the dedup blocker's sibling task
+    "er_link_pairs": (q_er_link_pairs, SQL_ER_LINK_PAIRS),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit
     # LAST deliberately: the driver's correctness window covers the first 50
     # registry entries, and every slot it spends on a rows-only query is an
