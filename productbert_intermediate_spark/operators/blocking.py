@@ -33,7 +33,7 @@ driver-side collection anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_prefix, token_set
@@ -417,3 +417,91 @@ def block_offers(
     return candidate_pairs_from_keys(
         keys, max_block_size, tracker=tracker, assume_distinct_keys=True
     )
+
+
+def sorted_neighborhood_pairs(
+    keyed: DataFrame, window: int, id_col: str = "id", key_col: str = "key"
+) -> DataFrame:
+    """Sorted-neighborhood blocking: (id, key) → candidate pairs whose rank
+    distance under the (key, id) total order is ≤ ``window``.
+
+    The third classic blocking family (Hernández & Stolfo's merge/purge,
+    SIGMOD 1995 — public algorithm) beside this module's rare-token and
+    MinHash-LSH keys: instead of equality buckets, sort the corpus by a
+    fuzzy key (e.g. a normalized-title prefix) and pair every record with
+    its ``window`` successors — catching near-misses that share no exact
+    key (typos past the prefix, reordered tokens) at a guaranteed-linear
+    pair budget of |corpus|·window.
+
+    Scale shape: a single-partition global window over 10^12 rows is the
+    obvious wrong plan, so the global rank is computed as range-sort +
+    per-partition local rank + a partition-count-bounded offset collect
+    (one row per partition — a scalar-class driver round-trip), exactly the
+    distributed ranking a real cluster needs. Pairing then needs no window
+    function at all: with block = rank div window, a successor within
+    ``window`` ranks lives in the same or the next block, so each row
+    equi-joins against exactly two block keys — shuffle on a dense integer
+    key, no skew (blocks have ≤ window rows by construction), no range join.
+
+    Output: distinct (id_l < id_r) canonical pairs, same contract as
+    candidate_pairs_from_keys. Ties in ``key`` are totally ordered by id,
+    so the output is deterministic at any partition count.
+    """
+    spark = keyed.sparkSession
+    src = keyed.select(F.col(id_col).alias("id"), F.col(key_col).alias("key"))
+    n_parts = spark.sparkContext.defaultParallelism
+    # Freeze spark_partition_id() as DATA before the window: the window's
+    # own exchange re-evaluates expressions, so partitioning the window by
+    # the live spark_partition_id() would rank against the post-shuffle
+    # partition layout, not the range-sorted one. localCheckpoint
+    # materializes the range layout's partition ids as an ordinary column.
+    parted = (
+        src.repartitionByRange(n_parts, "key", "id")
+        .withColumn("_part", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    ranked_local = parted.select(
+        "id",
+        "_part",
+        (F.row_number().over(
+            Window.partitionBy("_part").orderBy("key", "id")
+        ) - 1).alias("_local_rn"),
+    )
+    # one row per partition — bounded by the partition count, not the data
+    counts = {
+        r["_part"]: r["_n"]
+        for r in parted.groupBy("_part").agg(F.count("*").alias("_n")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()], "_part int, _off long"
+        )
+    )
+    ranked = ranked_local.join(off_df, "_part").select(
+        "id", (F.col("_local_rn") + F.col("_off")).alias("rn")
+    )
+    ranked = ranked.localCheckpoint(eager=True)
+    blk = F.floor(F.col("rn") / F.lit(window))
+    left = ranked.select("id", "rn", blk.alias("_blk"))
+    right = ranked.select(
+        F.col("id").alias("_rid"),
+        F.col("rn").alias("_rrn"),
+        F.explode(F.array(blk, blk - 1)).alias("_blk"),
+    )
+    pairs = (
+        left.join(right, "_blk")
+        .where(
+            (F.col("_rrn") > F.col("rn"))
+            & (F.col("_rrn") <= F.col("rn") + window)
+        )
+        .select(
+            F.least("id", "_rid").alias("id_l"),
+            F.greatest("id", "_rid").alias("id_r"),
+        )
+        .distinct()
+    )
+    return pairs

@@ -150,3 +150,77 @@ def assign_entities(offers: DataFrame, match_edges: DataFrame) -> DataFrame:
             "id", F.coalesce("entity_id", F.col("id")).alias("entity_id")
         )
     )
+
+
+def split_giant_components(
+    edges: DataFrame,
+    max_size: int,
+    ladder: list[float],
+    src: str = "id_l",
+    dst: str = "id_r",
+    score: str = "score",
+) -> DataFrame:
+    """Bound entity size: re-cluster oversized components on stronger edges.
+
+    Transitive closure's web-scale failure mode is CHAINING: a handful of
+    borderline match edges (accessory listings, boilerplate titles) bridge
+    otherwise-distinct products into one giant component — at 10^12 offers a
+    single mega-entity can swallow a measurable fraction of the corpus and
+    makes survivorship/golden records meaningless. The reference never hits
+    this (its cluster ids are ground truth and its corpus construction caps
+    clusters at 80 members, sample_intermediate_training_sets.py:233-240);
+    an end-to-end resolver must handle it.
+
+    Deterministic ladder semantics: compute connected components over ALL
+    edges, then for each threshold t in ``ladder`` (ascending scores), take
+    every component larger than ``max_size``, keep only its edges with
+    ``score >= t``, and re-run connected components on that subgraph —
+    members that lose all edges become singletons (entity_id = id).
+    Components at or under ``max_size`` are never touched, so confident
+    small entities are stable regardless of the ladder. A component still
+    oversized after the last rung stays as-is (best effort — the honest
+    output for a genuinely dense clique is the clique).
+
+    Scale shape: each rung is two bounded semi-joins (the oversized-entity
+    id list has at most |nodes|/max_size rows, and only THOSE components'
+    members/edges flow into the rung's CC) plus one CC over the shrinking
+    subgraph. The all-edges CC is the same O(log n)-round machinery the
+    pipeline already runs; rungs add O(|giant| log |giant|) each, not
+    O(corpus). Emptiness of the oversized set is checked per rung (one
+    scalar driver round-trip) so the common no-giants case pays one count.
+
+    Returns (id, entity_id) for every node that appears in ``edges`` —
+    same contract as connected_components; callers union isolated offers
+    back via assign_entities-style coalesce.
+    """
+    weighted = edges.select(
+        F.col(src).alias("id_l"), F.col(dst).alias("id_r"),
+        F.col(score).alias("score"),
+    ).localCheckpoint(eager=True)
+    comp = connected_components(weighted)
+    for t in sorted(ladder):
+        sizes = comp.groupBy("entity_id").agg(F.count("*").alias("_n"))
+        big = sizes.where(F.col("_n") > max_size).select("entity_id")
+        # at most |nodes|/max_size rows by construction; cut lineage so the
+        # three consumers below don't each re-run the CC-plus-count plan
+        big = big.localCheckpoint(eager=True)
+        if big.isEmpty():
+            break
+        big_members = (
+            comp.join(big, "entity_id", "left_semi")
+            .select("id")
+            .localCheckpoint(eager=True)
+        )
+        strong = (
+            weighted.where(F.col("score") >= t)
+            .join(big_members.withColumnRenamed("id", "id_l"), "id_l", "left_semi")
+            .join(big_members.withColumnRenamed("id", "id_r"), "id_r", "left_semi")
+        )
+        sub = connected_components(strong)
+        resolved = (
+            big_members.join(sub, "id", "left")
+            .select("id", F.coalesce("entity_id", F.col("id")).alias("entity_id"))
+        )
+        kept = comp.join(big, "entity_id", "left_anti")
+        comp = kept.unionByName(resolved).localCheckpoint(eager=True)
+    return comp

@@ -53,6 +53,8 @@ def run_pipeline(
     salt_hot_ids: tuple[int, int] | None = None,
     stabilize_against: str | None = None,
     pair_budget: int | None = None,
+    max_entity_size: int | None = None,
+    split_ladder: tuple[float, ...] = (0.6, 0.7, 0.8, 0.9, 0.95),
 ) -> dict:
     """Execute (or resume) the full pipeline; returns a run report dict.
 
@@ -96,6 +98,18 @@ def run_pipeline(
     workdir``, typically with ``force=True`` after the corpus grew) is
     supported: the previous assignment is snapshotted to stage
     ``entities_prev`` before any stage rebuild can overwrite it.
+
+    ``max_entity_size=<cap>`` turns on the giant-component guard
+    (operators/clustering.split_giant_components): after transitive
+    closure, any entity larger than the cap is re-clustered on
+    progressively stronger match edges (``split_ladder`` — calibrated
+    scores, ascending; the default rungs walk 0.6→0.95). Entities at or
+    under the cap are untouched, so the guard never perturbs confident
+    small clusters; a component still oversized after the last rung stays
+    as-is (a genuinely dense clique IS one entity). The cap and ladder
+    enter the stage params_key — changing them rebuilds ``entities``
+    and downstream — and the count of still-oversized entities lands in
+    ``report["stages"]["entities"]["oversized_after_split"]``.
 
     ``pair_budget=<max expansion rows>`` data-drives the rare-token
     ``max_rare_df`` threshold instead of taking it as a constant:
@@ -283,14 +297,45 @@ def run_pipeline(
     )
     report["stages"]["scored_pairs"] = {"resumed": resumed}
 
-    k_ent = _params_key(parent=k_scored)
+    if max_entity_size is None:
+        k_ent = _params_key(parent=k_scored)
+        build_entities = lambda: assign_entities(  # noqa: E731
+            offers, scored.where("match")
+        )
+    else:
+        from ..operators.clustering import split_giant_components
+
+        k_ent = _params_key(
+            parent=k_scored,
+            max_entity_size=max_entity_size,
+            split_ladder=list(split_ladder),
+        )
+
+        def build_entities():
+            comp = split_giant_components(
+                scored.where("match"), max_entity_size, list(split_ladder)
+            )
+            return (
+                offers.select("id")
+                .join(comp, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce("entity_id", F.col("id")).alias("entity_id"),
+                )
+            )
+
     entities, resumed = cat.write_or_resume(
-        "entities",
-        lambda: assign_entities(offers, scored.where("match")),
-        params_key=k_ent,
-        force=force,
+        "entities", build_entities, params_key=k_ent, force=force
     )
     report["stages"]["entities"] = {"resumed": resumed}
+    if max_entity_size is not None:
+        oversized = (
+            entities.groupBy("entity_id")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_entity_size)
+            .count()
+        )
+        report["stages"]["entities"]["oversized_after_split"] = int(oversized)
 
     if prev_entities is not None:
         from ..operators.entity_ids import stabilize_entity_ids

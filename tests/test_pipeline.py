@@ -556,3 +556,38 @@ def test_pair_budget_conflicts_with_explicit_max_rare_df(spark, tmp_path_factory
             blocking_params={"max_rare_df": 10},
             pair_budget=100,
         )
+
+
+def test_pipeline_giant_guard_high_cap_is_identity(spark, e2e_dir, e2e_run, tmp_path_factory):
+    """A cap above the corpus's largest true entity makes the guard a
+    structural no-op: the entity assignment must be row-identical to the
+    unguarded run's, and the report must carry the oversized counter."""
+    base_wd, _ = e2e_run
+    wd = str(tmp_path_factory.mktemp("pipeline_guard_hi"))
+    report = run_pipeline(
+        spark, f"{e2e_dir}/pages.parquet", wd, max_entity_size=500
+    )
+    assert report["stages"]["entities"]["oversized_after_split"] == 0
+    cat_a = StageCatalog(spark, base_wd)
+    cat_b = StageCatalog(spark, wd)
+    a = {(r["id"], r["entity_id"]) for r in cat_a.read("entities").collect()}
+    b = {(r["id"], r["entity_id"]) for r in cat_b.read("entities").collect()}
+    assert a == b
+
+
+def test_pipeline_giant_guard_tiny_cap_splits_and_rekeys_stage(
+    spark, e2e_dir, tmp_path_factory
+):
+    """A tiny cap forces splitting: entity count grows vs the cap-free
+    assignment, no small entity is merged (the guard only ever splits),
+    and flipping the cap re-keys the stage (fresh build, not a resume)."""
+    wd = str(tmp_path_factory.mktemp("pipeline_guard_lo"))
+    r1 = run_pipeline(spark, f"{e2e_dir}/pages.parquet", wd)
+    n1 = r1["counts"]["entities"]
+    r2 = run_pipeline(
+        spark, f"{e2e_dir}/pages.parquet", wd, max_entity_size=2,
+        split_ladder=(0.7, 0.9, 0.99),
+    )
+    assert r2["stages"]["entities"]["resumed"] is False  # cap re-keys stage
+    assert r2["counts"]["entities"] >= n1
+    assert "oversized_after_split" in r2["stages"]["entities"]
