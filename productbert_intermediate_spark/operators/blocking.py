@@ -387,12 +387,21 @@ def block_offers(
     use_lsh: bool = True,
     exclude_cluster_ids: DataFrame | None = None,
     tracker=None,
+    sn_window: int | None = None,
+    sn_key_chars: int = 12,
 ) -> DataFrame:
     """offers → candidate pairs (id_l, id_r), id_l < id_r, distinct.
 
     exclude_cluster_ids: optional single-column DF of cluster ids to anti-join
     away before blocking (the reference's GS exclusion, J4 — only meaningful
     on corpora that carry a cluster_id column).
+
+    sn_window: optional third blocking pass — sorted-neighborhood pairs
+    (sorted_neighborhood_pairs) over the first ``sn_key_chars`` characters
+    of the whitespace-normalized title, unioned with the key-based
+    candidates. Catches near-misses that share NO surviving token key
+    (every shared token pruned as too-common, typos inside every rare
+    token) at a guaranteed-linear |corpus|·window extra pair budget.
     """
     if exclude_cluster_ids is not None and "cluster_id" in offers.columns:
         offers = offers.join(
@@ -414,9 +423,24 @@ def block_offers(
     keys = rare_token_keys(pruned, max_rare_df or max_block_size)
     if use_lsh:
         keys = keys.unionByName(minhash_band_keys(pruned, num_hashes, bands))
-    return candidate_pairs_from_keys(
+    pairs = candidate_pairs_from_keys(
         keys, max_block_size, tracker=tracker, assume_distinct_keys=True
     )
+    if sn_window:
+        from ..functions.text import lower_ws_normalize
+
+        keyed = offers.select(
+            "id",
+            F.substring(
+                lower_ws_normalize(F.coalesce(F.col("title"), F.lit(""))),
+                1,
+                sn_key_chars,
+            ).alias("key"),
+        )
+        pairs = pairs.unionByName(
+            sorted_neighborhood_pairs(keyed, sn_window)
+        ).distinct()
+    return pairs
 
 
 def sorted_neighborhood_pairs(

@@ -134,6 +134,7 @@ def run_pipeline(
         "num_hashes": B.DEFAULT_NUM_HASHES,
         "bands": B.DEFAULT_BANDS,
         "max_rare_df": None,
+        "sn_window": None,
         **(blocking_params or {}),
     }
     if pair_budget is not None and bp["max_rare_df"] is not None:
@@ -258,6 +259,7 @@ def run_pipeline(
             num_hashes=bp["num_hashes"],
             bands=bp["bands"],
             tracker=block_tracker,
+            sn_window=bp["sn_window"],
         )
 
     candidates, resumed = cat.write_or_resume(

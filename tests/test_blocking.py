@@ -332,3 +332,32 @@ def test_sorted_neighborhood_window_exceeds_corpus(spark):
         for r in B.sorted_neighborhood_pairs(df, window=10).collect()
     }
     assert got == {(i, j) for i in range(6) for j in range(i + 1, 6)}
+
+
+def test_block_offers_sn_window_is_superset(spark, fixtures_dir):
+    """The sorted-neighborhood pass only ever ADDS candidates: the keyed
+    pair set is a subset of the sn-augmented one, and the extras are
+    exactly the SN pairs over the normalized title prefix."""
+    offers = _offers(spark, fixtures_dir)
+    base = {
+        (int(r["id_l"]), int(r["id_r"]))
+        for r in B.block_offers(offers, use_lsh=False).collect()
+    }
+    augmented = {
+        (int(r["id_l"]), int(r["id_r"]))
+        for r in B.block_offers(offers, use_lsh=False, sn_window=3).collect()
+    }
+    assert base <= augmented
+    from productbert_intermediate_spark.functions.text import lower_ws_normalize
+
+    keyed = offers.select(
+        "id",
+        F.substring(
+            lower_ws_normalize(F.coalesce(F.col("title"), F.lit(""))), 1, 12
+        ).alias("key"),
+    )
+    sn = {
+        (int(r["id_l"]), int(r["id_r"]))
+        for r in B.sorted_neighborhood_pairs(keyed, window=3).collect()
+    }
+    assert augmented == base | sn and len(sn - base) > 0
