@@ -226,6 +226,23 @@ def candidate_pairs_from_keys(
     ``blocking_dropped_pairs`` (candidate pairs forfeited, n·(n−1)/2 per
     dropped key) via ``tracker.total(...)`` after the query's action runs.
     """
+    return _bounded_pair_expansion(
+        keys, max_block_size, tracker, assume_distinct_keys
+    ).distinct()
+
+
+def _bounded_pair_expansion(
+    keys: DataFrame,
+    max_block_size: int,
+    tracker=None,
+    assume_distinct_keys: bool = False,
+) -> DataFrame:
+    """candidate_pairs_from_keys without the terminal distinct: one
+    (id_l < id_r) row PER KEY the pair co-occurs under. Multiplicity is
+    meaningful — it is exactly the common-blocks-scheme weight
+    metablocking.pair_key_weights aggregates — so this stays private to
+    callers that know whether they want it (candidate_pairs_from_keys
+    collapses it; pair weighting counts it)."""
     counter = F.count("*") if assume_distinct_keys else F.count_distinct("id")
     sizes = keys.groupBy("key").agg(counter.alias("_n"))
     if tracker is not None:
@@ -268,7 +285,7 @@ def candidate_pairs_from_keys(
             )
         ).alias("p")
     )
-    return pairs.select("p.id_l", "p.id_r").distinct()
+    return pairs.select("p.id_l", "p.id_r")
 
 
 def pair_budget_curve(
@@ -389,6 +406,7 @@ def block_offers(
     tracker=None,
     sn_window: int | None = None,
     sn_key_chars: int = 12,
+    meta_prune: str | None = None,
 ) -> DataFrame:
     """offers → candidate pairs (id_l, id_r), id_l < id_r, distinct.
 
@@ -402,7 +420,17 @@ def block_offers(
     candidates. Catches near-misses that share NO surviving token key
     (every shared token pruned as too-common, typos inside every rare
     token) at a guaranteed-linear |corpus|·window extra pair budget.
+
+    meta_prune: optional meta-blocking pass (operators/metablocking) over
+    the key-based candidates — ``"wep"`` (global-mean edge pruning) or
+    ``"wnp"`` (node-local mean pruning). Weights aggregate the SAME pair
+    expansion the plain path distincts, so turning this on swaps the
+    distinct for a count groupBy plus the prune — it never re-runs key
+    generation. Applies only to key-based pairs; sorted-neighborhood
+    pairs (which carry no key-co-occurrence weight) union in after.
     """
+    if meta_prune not in (None, "wep", "wnp"):
+        raise ValueError(f"meta_prune must be wep|wnp|None, got {meta_prune!r}")
     if exclude_cluster_ids is not None and "cluster_id" in offers.columns:
         offers = offers.join(
             F.broadcast(exclude_cluster_ids.select("cluster_id").distinct()),
@@ -423,9 +451,22 @@ def block_offers(
     keys = rare_token_keys(pruned, max_rare_df or max_block_size)
     if use_lsh:
         keys = keys.unionByName(minhash_band_keys(pruned, num_hashes, bands))
-    pairs = candidate_pairs_from_keys(
-        keys, max_block_size, tracker=tracker, assume_distinct_keys=True
-    )
+    if meta_prune:
+        from .metablocking import (
+            pair_key_weights,
+            prune_pairs_wep,
+            prune_pairs_wnp,
+        )
+
+        weighted = pair_key_weights(
+            keys, max_block_size, tracker=tracker, assume_distinct_keys=True
+        )
+        pruner = prune_pairs_wep if meta_prune == "wep" else prune_pairs_wnp
+        pairs = pruner(weighted).select("id_l", "id_r")
+    else:
+        pairs = candidate_pairs_from_keys(
+            keys, max_block_size, tracker=tracker, assume_distinct_keys=True
+        )
     if sn_window:
         from ..functions.text import lower_ws_normalize
 

@@ -135,6 +135,7 @@ def run_pipeline(
         "bands": B.DEFAULT_BANDS,
         "max_rare_df": None,
         "sn_window": None,
+        "meta_prune": None,
         **(blocking_params or {}),
     }
     if pair_budget is not None and bp["max_rare_df"] is not None:
@@ -260,6 +261,7 @@ def run_pipeline(
             bands=bp["bands"],
             tracker=block_tracker,
             sn_window=bp["sn_window"],
+            meta_prune=bp["meta_prune"],
         )
 
     candidates, resumed = cat.write_or_resume(

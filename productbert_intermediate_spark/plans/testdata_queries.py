@@ -3256,6 +3256,75 @@ from ranked a join ranked b on b.rn > a.rn and b.rn <= a.rn + 3
 """
 
 
+def q_meta_blocking_wnp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking over the er_blocking_pairs key family
+    (operators/metablocking): CBS pair weights = # shared rare-token keys,
+    then weighted node pruning — keep a pair at/above EITHER endpoint's
+    mean weight, both comparisons integer-exact (cross-multiplied, no
+    float divide). Same key parameters as er_blocking_pairs (max_rare_df=5,
+    max_block_size=5 — the size cap never binds, so the SQL needs no cap
+    modeling); the oracle recomputes weights from the same tok/df chain
+    and prunes with the same integer arithmetic."""
+    from ..operators import blocking as B
+    from ..operators.metablocking import pair_key_weights, prune_pairs_wnp
+
+    docs = _t(spark, sf_dir, "documents")
+    offers = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("category"),
+        F.col("text").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+    )
+    tokenized = B.build_title_for_ts(offers)
+    pruned = B.prune_tokens_by_df(tokenized)
+    keys = B.rare_token_keys(pruned, max_rare_df=5)
+    weighted = pair_key_weights(
+        keys, max_block_size=5, assume_distinct_keys=True
+    )
+    return prune_pairs_wnp(weighted)
+
+
+SQL_META_BLOCKING_WNP = rf"""
+with tok as (
+  select doc_id, coalesce(source, chr(0) || '<null>') as source,
+         unnest(list_distinct(
+           list_filter(regexp_split_to_array(lower(text), '{_WS}+'), x -> x <> '')
+         )) as t
+  from documents
+), grp as (
+  select coalesce(source, chr(0) || '<null>') as source, count(*) as n
+  from documents group by 1
+), dfc as (
+  select tok.source, t, count(*) as df
+  from tok group by tok.source, t
+), kept as (
+  select dfc.source as source, dfc.t as t
+  from dfc join grp on dfc.source = grp.source
+  where df >= 2 and df <= least(5, cast(floor(0.8 * n) as bigint))
+), keyed as (
+  select tok.doc_id as doc_id, tok.source as source, tok.t as t from tok
+  join kept on tok.source = kept.source and tok.t = kept.t
+), pw as (
+  select a.doc_id as id_l, b.doc_id as id_r,
+         cast(count(*) as bigint) as weight
+  from keyed a join keyed b
+    on a.source = b.source and a.t = b.t and a.doc_id < b.doc_id
+  group by 1, 2
+), sym as (
+  select id_l as id, weight from pw
+  union all
+  select id_r as id, weight from pw
+), mu as (
+  select id, count(*) as cnt, sum(weight) as s from sym group by id
+)
+select pw.id_l, pw.id_r, pw.weight
+from pw
+join mu ml on pw.id_l = ml.id
+join mu mr on pw.id_r = mr.id
+where pw.weight * ml.cnt >= ml.s or pw.weight * mr.cnt >= mr.s
+"""
+
+
 def q_er_split_giant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Giant-component guard (operators/clustering.split_giant_components):
     transitive closure's web-scale failure is CHAINING — borderline edges
@@ -3453,6 +3522,7 @@ REGISTRY: dict[str, tuple] = {
         SQL_SORTED_NEIGHBORHOOD_PAIRS,
     ),
     "er_split_giant": (q_er_split_giant, SQL_ER_SPLIT_GIANT),
+    "meta_blocking_wnp": (q_meta_blocking_wnp, SQL_META_BLOCKING_WNP),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit
     # LAST deliberately: the driver's correctness window covers the first 50
     # registry entries, and every slot it spends on a rows-only query is an
