@@ -97,6 +97,8 @@ def resolve_batch_increment(
     stable_dir: str | None = None,
     changelog_dir: str | None = None,
     batch_id: int | None = None,
+    max_entity_size: int | None = None,
+    split_ladder: tuple[float, ...] = (0.6, 0.7, 0.8, 0.9, 0.95),
 ) -> None:
     """One incremental ER step: fold ``batch_offers`` into the accumulated
     tables. Plain batch function — ``foreachBatch`` calls it with each
@@ -109,6 +111,16 @@ def resolve_batch_increment(
     operators/entity_ids.stabilize_entity_ids, so downstream keys survive
     micro-batches. The two tables always hold the same PARTITION of ids —
     only the labels differ.
+
+    ``max_entity_size`` applies the giant-component guard
+    (operators/clustering.split_giant_components) to the per-batch entity
+    derivation; the batch-equivalence invariant then holds against the
+    GUARDED batch pipeline (run_pipeline with the same cap and ladder),
+    because the guard is a pure function of the valid edge set, which is
+    already batch-equivalent. Foldback mode only — this step re-clusters
+    per batch anyway, so the guard's component-sizes pass adds no new
+    asymptotic cost; the indexed mode's O(batch) bound would not survive
+    a per-batch corpus-wide sizes scan, so it does not offer the knob.
     """
     bp = blocking_params or {}
     batch = batch_offers.where(F.col("id").isNotNull())
@@ -141,9 +153,22 @@ def resolve_batch_increment(
     valid.write.mode("overwrite").parquet(edges_dir)
 
     edges = spark.read.parquet(edges_dir)
-    assign_entities(offers_all, edges.where("match")).write.mode(
-        "overwrite"
-    ).parquet(entities_dir)
+    if max_entity_size is None:
+        ents = assign_entities(offers_all, edges.where("match"))
+    else:
+        from ..operators.clustering import split_giant_components
+
+        comp = split_giant_components(
+            edges.where("match"), max_entity_size, list(split_ladder)
+        )
+        ents = (
+            offers_all.select("id")
+            .join(comp, "id", "left")
+            .select(
+                "id", F.coalesce("entity_id", F.col("id")).alias("entity_id")
+            )
+        )
+    ents.write.mode("overwrite").parquet(entities_dir)
 
     if stable_dir is not None:
         _stabilize_step(
@@ -880,11 +905,19 @@ def _run_stream(
     n_buckets: int = 16,
     changelog: bool = False,
     upsert: bool = False,
+    max_entity_size: int | None = None,
+    split_ladder: tuple[float, ...] = (0.6, 0.7, 0.8, 0.9, 0.95),
 ) -> dict:
     if upsert and not indexed:
         raise ValueError(
             "upsert=True requires indexed=True: re-crawl folds retract"
             " stale content through the versioned blocking index"
+        )
+    if max_entity_size is not None and indexed:
+        raise ValueError(
+            "max_entity_size requires indexed=False: the guard's per-batch"
+            " component-sizes pass is corpus-wide, which the indexed mode's"
+            " O(batch) bound cannot absorb (see resolve_batch_increment)"
         )
     offers_dir = os.path.join(workdir, "offers")
     cache_dir = os.path.join(workdir, "score_cache")
@@ -924,6 +957,8 @@ def _run_stream(
                     else None
                 ),
                 batch_id=batch_id,
+                max_entity_size=max_entity_size,
+                split_ladder=split_ladder,
             )
 
     writer = source.writeStream.foreachBatch(_step).option(
@@ -995,6 +1030,8 @@ def run_incremental_er(
     n_buckets: int = 16,
     changelog: bool = False,
     upsert: bool = False,
+    max_entity_size: int | None = None,
+    split_ladder: tuple[float, ...] = (0.6, 0.7, 0.8, 0.9, 0.95),
 ) -> dict:
     """Stream a PAGES landing directory into a continuously maintained
     entity table under ``workdir`` (offers/, score_cache/, match_edges/,
@@ -1019,6 +1056,10 @@ def run_incremental_er(
     default insert mode instead keeps the FIRST version seen and ignores
     re-offers, which is right for append-only corpora but silently drops
     content updates on a live crawl.
+
+    ``max_entity_size`` (+ ``split_ladder``) turns on the giant-component
+    guard per micro-batch — foldback mode only; see
+    resolve_batch_increment's docstring for why the indexed mode refuses it.
     """
     pages = stream_pages(spark, pages_path, max_files_per_trigger)
     return _run_stream(
@@ -1034,6 +1075,8 @@ def run_incremental_er(
         n_buckets=n_buckets,
         changelog=changelog,
         upsert=upsert,
+        max_entity_size=max_entity_size,
+        split_ladder=split_ladder,
     )
 
 
@@ -1051,6 +1094,8 @@ def run_incremental_er_offers(
     n_buckets: int = 16,
     changelog: bool = False,
     upsert: bool = False,
+    max_entity_size: int | None = None,
+    split_ladder: tuple[float, ...] = (0.6, 0.7, 0.8, 0.9, 0.95),
 ) -> dict:
     """Same incremental ER over a landing directory of ALREADY-EXTRACTED
     offers (OFFER_SCHEMA parquet drops) — the entry point for corpora that
@@ -1075,6 +1120,8 @@ def run_incremental_er_offers(
         n_buckets=n_buckets,
         changelog=changelog,
         upsert=upsert,
+        max_entity_size=max_entity_size,
+        split_ladder=split_ladder,
     )
 
 
