@@ -181,12 +181,14 @@ def split_giant_components(
     oversized after the last rung stays as-is (best effort — the honest
     output for a genuinely dense clique is the clique).
 
-    Scale shape: each rung is two bounded semi-joins (the oversized-entity
-    id list has at most |nodes|/max_size rows, and only THOSE components'
-    members/edges flow into the rung's CC) plus one CC over the shrinking
-    subgraph. The all-edges CC is the same O(log n)-round machinery the
-    pipeline already runs; rungs add O(|giant| log |giant|) each, not
-    O(corpus). Emptiness of the oversized set is checked per rung (one
+    Scale shape: ONE corpus-wide sizes pass (the first rung's), then the
+    working set narrows to giant members only — a component that is ≤
+    max_size (whether it started small or a rung shrank it) is frozen into
+    the result and never re-scanned, so rung 2..R cost O(|giants| log
+    |giants|) in both the sizes pass and the CC, not O(corpus). The frozen
+    parts are unioned lazily at the end — no per-rung corpus-sized
+    materialization; only the (small) working assignment is checkpointed
+    per rung. Emptiness of the oversized set is checked per rung (one
     scalar driver round-trip) so the common no-giants case pays one count.
 
     Returns (id, entity_id) for every node that appears in ``edges`` —
@@ -197,17 +199,22 @@ def split_giant_components(
         F.col(src).alias("id_l"), F.col(dst).alias("id_r"),
         F.col(score).alias("score"),
     ).localCheckpoint(eager=True)
-    comp = connected_components(weighted)
+    # `work` is the assignment still subject to splitting; starts as the
+    # full closure, narrows to giant members after the first rung. `frozen`
+    # accumulates the ≤ max_size parts (lazy — unioned once at the end).
+    work = connected_components(weighted)
+    frozen: list[DataFrame] = []
     for t in sorted(ladder):
-        sizes = comp.groupBy("entity_id").agg(F.count("*").alias("_n"))
+        sizes = work.groupBy("entity_id").agg(F.count("*").alias("_n"))
         big = sizes.where(F.col("_n") > max_size).select("entity_id")
-        # at most |nodes|/max_size rows by construction; cut lineage so the
+        # at most |work|/max_size rows by construction; cut lineage so the
         # three consumers below don't each re-run the CC-plus-count plan
         big = big.localCheckpoint(eager=True)
         if big.isEmpty():
             break
+        frozen.append(work.join(big, "entity_id", "left_anti"))
         big_members = (
-            comp.join(big, "entity_id", "left_semi")
+            work.join(big, "entity_id", "left_semi")
             .select("id")
             .localCheckpoint(eager=True)
         )
@@ -217,10 +224,12 @@ def split_giant_components(
             .join(big_members.withColumnRenamed("id", "id_r"), "id_r", "left_semi")
         )
         sub = connected_components(strong)
-        resolved = (
+        work = (
             big_members.join(sub, "id", "left")
             .select("id", F.coalesce("entity_id", F.col("id")).alias("entity_id"))
+            .localCheckpoint(eager=True)
         )
-        kept = comp.join(big, "entity_id", "left_anti")
-        comp = kept.unionByName(resolved).localCheckpoint(eager=True)
-    return comp
+    out = work
+    for part in frozen:
+        out = out.unionByName(part)
+    return out
