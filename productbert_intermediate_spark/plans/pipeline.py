@@ -430,12 +430,26 @@ def run_pipeline(
     # stage row counts come from the checkpoint manifest (already computed
     # during each write) — no re-count jobs; only the two derived figures
     # (match edges, distinct entities) run aggregations.
+    # one aggregate over the entity-size distribution: distinct entity
+    # count plus the largest entity — the number the giant-component guard
+    # exists to bound, reported whether or not the guard is on so an
+    # unguarded run's chaining is visible from the report alone
+    ent_stats = (
+        entities.groupBy("entity_id")
+        .agg(F.count("*").alias("_n"))
+        .agg(
+            F.count("*").alias("n_entities"),
+            F.max("_n").alias("max_size"),
+        )
+        .collect()[0]
+    )
     report["counts"] = {
         **report.get("counts", {}),
         "offers": n_offers,
         "candidate_pairs": (cat.latest_entry("candidate_pairs") or {}).get("rows"),
         "match_edges": scored.where("match").count(),
-        "entities": entities.select("entity_id").distinct().count(),
+        "entities": int(ent_stats["n_entities"]),
+        "max_entity_size": int(ent_stats["max_size"] or 0),
     }
 
     if labeled_path:

@@ -591,3 +591,12 @@ def test_pipeline_giant_guard_tiny_cap_splits_and_rekeys_stage(
     assert r2["stages"]["entities"]["resumed"] is False  # cap re-keys stage
     assert r2["counts"]["entities"] >= n1
     assert "oversized_after_split" in r2["stages"]["entities"]
+
+
+def test_report_exposes_max_entity_size(e2e_run):
+    """The chaining failure the giant guard bounds must be visible from
+    every run report, guard on or off."""
+    _, report = e2e_run
+    ms = report["counts"]["max_entity_size"]
+    assert isinstance(ms, int) and 1 <= ms
+    assert report["counts"]["entities"] > 0
