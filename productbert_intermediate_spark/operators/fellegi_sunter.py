@@ -1,0 +1,327 @@
+"""Fellegi-Sunter probabilistic record linkage with EM-estimated weights.
+
+The reference's matchers are all SUPERVISED — its training sets are built
+from a labeled gold standard (sample_intermediate_training_sets.py, and the
+BERT fine-tune in src/productbert/). A web-scale ER deployment usually has
+no labels at the start: the standard bootstrap is the Fellegi-Sunter model
+(Fellegi & Sunter 1969, JASA 64) with parameters estimated by EM (Winkler
+1988), the approach productionised by the public Splink package. This
+module is that unsupervised matcher, Spark-first:
+
+* **Agreement vectors** (gamma): per candidate pair, k binary columns
+  "does attribute i agree?" — pure JVM expressions built by the caller
+  (exact match, banded numeric, token overlap, ...), whole-stage-codegen.
+* **Pattern counts**: one ``groupBy`` over the gamma columns. The key
+  space is ≤ 2^k (k ≤ ~20), so map-side combine collapses every partition
+  to ≤ 2^k rows before the shuffle — the ONLY data-sized pass in a fit.
+* **EM**: driver-side over the collected pattern counts. The collect is
+  k-bounded (≤ 2^k rows — same justification as the IVF centroid collect,
+  operators/ann.py): the counts table IS the sufficient statistic for the
+  conditionally-independent FS likelihood, so no further data pass is
+  needed per iteration. Deterministic: fixed dyadic-rational init, fixed
+  attribute order, pure-Python floats (no BLAS), clamped away from 0/1.
+* **Scoring**: posterior match probability and Bayes factor per pair as
+  literal arithmetic over the gamma columns — no join, no UDF, map-only.
+
+Scale shape at 10^12 candidate pairs: gamma build + scoring are map-only;
+the fit's one shuffle moves ≤ 2^k rows per partition; EM cost is
+O(2^k · iters) on the driver, independent of data size.
+
+Determinism / engine-invariance contract (driver hash gate): per-pattern
+E-step arithmetic is plain IEEE-754 double ops in a FIXED association
+order (identical bits in any IEEE engine), and the posterior is then
+QUANTIZED to integer units of 2^-30 — scaling by a power of two is exact
+(exponent shift, no rounding) and floor is exact, so the M-step reduces to
+integer sums (exact, commutative) and one final double division. This
+sidesteps the double→decimal cast, whose rounding differs across engines
+(Spark rounds the shortest decimal repr via BigDecimal.valueOf; DuckDB
+rounds the exact binary expansion), which float-in-decimal-out tricks like
+the operators/scoring.py calibration never have to reconcile because they
+only need Spark-internal parallelism-invariance. Quantization error is
+≤ 2^-30 per pattern posterior — orders of magnitude below EM's statistical
+noise — and is applied identically in ``em_step`` (distributed) and the
+local one-step replica the tests and SQL oracle use.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EPS = 1e-6
+
+# Dyadic-rational defaults: exactly representable doubles, so Spark and any
+# SQL oracle that embeds the same literals compute bit-identical products.
+DEFAULT_LAM0 = 0.25
+DEFAULT_M0 = 0.875
+DEFAULT_U0 = 0.125
+
+
+@dataclass(frozen=True)
+class FSParams:
+    """Fitted Fellegi-Sunter model: prevalence + per-attribute m/u."""
+
+    lam: float
+    m: tuple[float, ...]
+    u: tuple[float, ...]
+    n_iter: int = 0
+    converged: bool = True
+
+    @property
+    def k(self) -> int:
+        return len(self.m)
+
+
+def gamma_pattern_counts(pairs: DataFrame, gamma_cols: list[str]) -> DataFrame:
+    """Candidate pairs with 0/1 gamma columns → (gamma..., n) counts.
+
+    One partial-aggregable groupBy over a ≤ 2^k key space: the shuffle
+    moves at most 2^k rows per map task regardless of pair count.
+    """
+    return pairs.groupBy(*[F.col(c).cast("int").alias(c) for c in gamma_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def _posterior_expr(
+    gamma_cols: list[str], lam: float, m: list[float], u: list[float]
+):
+    """E-step posterior as one fixed-association-order double expression.
+
+    w = lam * prod(m_i or 1-m_i); v = (1-lam) * prod(u_i or 1-u_i);
+    p = w / (w + v). Every factor is a Python-precomputed double literal
+    (1-m_i evaluated HERE, not in the engine), multiplied left-to-right in
+    attribute order — the exact sequence a SQL oracle can replicate.
+    """
+    w = F.lit(float(lam))
+    v = F.lit(float(1.0 - lam))
+    for i, c in enumerate(gamma_cols):
+        g = F.col(c)
+        w = w * F.when(g == 1, F.lit(float(m[i]))).otherwise(
+            F.lit(float(1.0 - m[i]))
+        )
+        v = v * F.when(g == 1, F.lit(float(u[i]))).otherwise(
+            F.lit(float(1.0 - u[i]))
+        )
+    return w / (w + v), w, v
+
+
+# E-step quantization denominator: posteriors become integer multiples of
+# 2^-30 so every M-step sum is exact integer arithmetic (module docstring).
+_Q = 1 << 30
+
+
+def em_step(
+    counts: DataFrame,
+    gamma_cols: list[str],
+    lam: float,
+    m: list[float],
+    u: list[float],
+) -> DataFrame:
+    """One distributed EM step over a pattern-counts table.
+
+    Returns one row per attribute: (attr, m_next, u_next, lam_next), every
+    value a double derived from exact integer sums of 2^-30-quantized
+    posteriors — parallelism- AND engine-invariant (module docstring), so
+    a SQL oracle can hash-match it. Exposed both as the unit the driver
+    oracle checks and for fits where the counts table is too wide to
+    collect (gamma levels beyond binary).
+
+    Overflow headroom: per-pattern products n·p_int are decimal(19,0) ×
+    decimal(11,0) → exact decimal(31,0); their sums hold > 10^38 — fine
+    past 10^12 candidate pairs.
+    """
+    p, _, _ = _posterior_expr(gamma_cols, lam, m, u)
+    p_int = F.floor(p * F.lit(float(_Q))).cast("decimal(11,0)")
+    nn = F.col("n").cast("decimal(19,0)")
+    base = counts.select(
+        *[F.col(c) for c in gamma_cols],
+        (nn * p_int).alias("np"),
+        (nn * (F.lit(_Q).cast("decimal(11,0)") - p_int)).alias("nq"),
+        nn.alias("nn"),
+    )
+    aggs = [
+        F.sum("np").alias("sum_np"),
+        F.sum("nq").alias("sum_nq"),
+        F.sum("nn").alias("sum_n"),
+    ]
+    for c in gamma_cols:
+        g = F.col(c)
+        aggs.append(F.sum(F.when(g == 1, F.col("np")).otherwise(F.lit(0))).alias(f"np_{c}"))
+        aggs.append(F.sum(F.when(g == 1, F.col("nq")).otherwise(F.lit(0))).alias(f"nq_{c}"))
+    tot = base.agg(*aggs)
+
+    rows = []
+    for c in gamma_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("attr"),
+                (F.col(f"np_{c}").cast("double") / F.col("sum_np").cast("double")).alias("m_next"),
+                (F.col(f"nq_{c}").cast("double") / F.col("sum_nq").cast("double")).alias("u_next"),
+                (
+                    F.col("sum_np").cast("double")
+                    / (F.col("sum_n").cast("double") * F.lit(float(_Q)))
+                ).alias("lam_next"),
+            )
+        )
+    return tot.select(F.explode(F.array(*rows)).alias("s")).select(
+        "s.attr", "s.m_next", "s.u_next", "s.lam_next"
+    )
+
+
+def em_step_local(
+    counts: list[tuple], k: int, lam: float, m: list[float], u: list[float]
+) -> tuple[float, list[float], list[float]]:
+    """Driver-side replica of ``em_step``'s exact quantized arithmetic.
+
+    Python floats ARE IEEE doubles and ``math.floor`` on a float is exact,
+    so this reproduces the distributed step bit-for-bit — the tests pin
+    ``em_step`` ≡ ``em_step_local`` and the SQL oracle to the same bits.
+    """
+    sum_np = sum_nq = sum_n = 0
+    np_g = [0] * k
+    nq_g = [0] * k
+    for row in counts:
+        g = tuple(int(x) for x in row[:k])
+        n = int(row[k])
+        w = lam
+        v = 1.0 - lam
+        for i in range(k):
+            w *= m[i] if g[i] else 1.0 - m[i]
+            v *= u[i] if g[i] else 1.0 - u[i]
+        p_int = int(math.floor((w / (w + v)) * _Q))
+        np_v = n * p_int
+        nq_v = n * (_Q - p_int)
+        sum_np += np_v
+        sum_nq += nq_v
+        sum_n += n
+        for i in range(k):
+            if g[i]:
+                np_g[i] += np_v
+                nq_g[i] += nq_v
+    lam_next = float(sum_np) / (float(sum_n) * float(_Q))
+    m_next = [float(np_g[i]) / float(sum_np) for i in range(k)]
+    u_next = [float(nq_g[i]) / float(sum_nq) for i in range(k)]
+    return lam_next, m_next, u_next
+
+
+def em_fit_counts(
+    counts: list[tuple],
+    k: int,
+    lam0: float = DEFAULT_LAM0,
+    m0: float | list[float] = DEFAULT_M0,
+    u0: float | list[float] = DEFAULT_U0,
+    max_iter: int = 200,
+    tol: float = 1e-10,
+) -> FSParams:
+    """EM over local pattern counts: rows (g_1..g_k, n) → FSParams.
+
+    Pure-Python doubles in fixed order (no numpy reduction reorder):
+    deterministic for a given counts multiset regardless of row order —
+    counts are re-sorted internally. Parameters are clamped to
+    [_EPS, 1-_EPS] each M-step (Winkler's degenerate-boundary guard).
+    """
+    pats = sorted((tuple(int(g) for g in r[:k]), int(r[k])) for r in counts)
+    lam = float(lam0)
+    m = [float(m0)] * k if isinstance(m0, (int, float)) else [float(x) for x in m0]
+    u = [float(u0)] * k if isinstance(u0, (int, float)) else [float(x) for x in u0]
+    n_total = sum(n for _, n in pats)
+    if n_total == 0:
+        return FSParams(lam, tuple(m), tuple(u), 0, True)
+
+    clamp = lambda x: min(max(x, _EPS), 1.0 - _EPS)  # noqa: E731
+    it = 0
+    converged = False
+    for it in range(1, max_iter + 1):
+        sum_np = sum_nq = 0.0
+        np_g = [0.0] * k
+        nq_g = [0.0] * k
+        for g, n in pats:
+            w = lam
+            v = 1.0 - lam
+            for i in range(k):
+                w *= m[i] if g[i] else 1.0 - m[i]
+                v *= u[i] if g[i] else 1.0 - u[i]
+            p = w / (w + v)
+            npv = n * p
+            nqv = n - npv
+            sum_np += npv
+            sum_nq += nqv
+            for i in range(k):
+                if g[i]:
+                    np_g[i] += npv
+                    nq_g[i] += nqv
+        lam_new = clamp(sum_np / n_total)
+        m_new = [clamp(np_g[i] / sum_np) if sum_np > 0 else m[i] for i in range(k)]
+        u_new = [clamp(nq_g[i] / sum_nq) if sum_nq > 0 else u[i] for i in range(k)]
+        delta = max(
+            abs(lam_new - lam),
+            max(abs(m_new[i] - m[i]) for i in range(k)),
+            max(abs(u_new[i] - u[i]) for i in range(k)),
+        )
+        lam, m, u = lam_new, m_new, u_new
+        if delta < tol:
+            converged = True
+            break
+
+    # Label-switching guard: EM is symmetric under (lam, m, u) →
+    # (1-lam, u, m); pin "match" to the class with the higher mean
+    # agreement rate so downstream thresholds read the right way.
+    if sum(m) < sum(u):
+        lam, m, u = 1.0 - lam, u, m
+    return FSParams(lam, tuple(m), tuple(u), it, converged)
+
+
+def fit_em(
+    pairs: DataFrame,
+    gamma_cols: list[str],
+    lam0: float = DEFAULT_LAM0,
+    m0: float | list[float] = DEFAULT_M0,
+    u0: float | list[float] = DEFAULT_U0,
+    max_iter: int = 200,
+    tol: float = 1e-10,
+) -> FSParams:
+    """Fit FS by EM from UNLABELED candidate pairs with gamma columns.
+
+    One distributed pattern-count pass (the only data-sized work), then
+    driver-side EM over ≤ 2^k sufficient-statistic rows (the collect is
+    k-bounded by construction — see module docstring).
+    """
+    k = len(gamma_cols)
+    rows = gamma_pattern_counts(pairs, gamma_cols).collect()
+    counts = [tuple(r[c] for c in gamma_cols) + (r["n"],) for r in rows]
+    return em_fit_counts(counts, k, lam0, m0, u0, max_iter, tol)
+
+
+def score_fs(
+    pairs: DataFrame,
+    gamma_cols: list[str],
+    params: FSParams,
+    posterior_col: str = "match_prob",
+    bayes_col: str = "bayes_factor",
+) -> DataFrame:
+    """Append posterior match probability and Bayes factor K = w/v.
+
+    Literal arithmetic over the gamma columns — map-only, no join, no UDF,
+    inside whole-stage codegen. log2(K) is the classic FS "match weight";
+    left as a ratio here because division is IEEE-engine-invariant while
+    log is not (last-ulp differences across libm builds).
+    """
+    p, w, v = _posterior_expr(
+        gamma_cols, params.lam, list(params.m), list(params.u)
+    )
+    return pairs.withColumn(posterior_col, p).withColumn(bayes_col, w / v)
+
+
+def params_table(spark: SparkSession, params: FSParams, gamma_cols: list[str]) -> DataFrame:
+    """FSParams → one row per attribute (attr, m, u, lam) for reports."""
+    return spark.createDataFrame(
+        [
+            (c, float(params.m[i]), float(params.u[i]), float(params.lam))
+            for i, c in enumerate(gamma_cols)
+        ],
+        "attr string, m double, u double, lam double",
+    )

@@ -3398,6 +3398,191 @@ select id, cast(ent as bigint) as entity_id from comp1
 
 
 # --------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic linkage (operators/fellegi_sunter.py): the
+# unsupervised matcher bootstrap — agreement-vector pattern counts, one
+# engine-invariant quantized EM step, and fixed-parameter posterior scoring.
+# Pairs: the adjacent-partkey self-join magellan_features established; five
+# binary gammas, each comparison expressible identically in both engines.
+# All float literals are dyadic rationals and every SQL literal is cast to
+# double (DuckDB parses bare decimals as DECIMAL), so the per-pattern
+# arithmetic is bit-identical IEEE in both engines; the EM step's M-sums
+# are quantized-integer (see the operator module's determinism contract).
+
+_FS_GAMMA_COLS = ["g_brand", "g_type", "g_size", "g_price", "g_name"]
+_FS_LAM0 = 0.25
+_FS_M0 = [0.875, 0.9375, 0.75, 0.8125, 0.625]
+_FS_U0 = [0.125, 0.0625, 0.25, 0.1875, 0.375]
+_FS_Q = 1 << 30
+
+
+def _fs_pair_gammas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"),
+        F.col("p_retailprice").alias("price_a"),
+    )
+    b = part.select(
+        (F.col("p_partkey") - 1).alias("k"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_type").alias("type_b"),
+        F.col("p_size").alias("size_b"),
+        F.col("p_retailprice").alias("price_b"),
+    )
+    first = lambda c: F.split(F.col(c), " ").getItem(0)  # noqa: E731
+    last = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    return a.join(b, "k").select(
+        F.col("k").alias("p_partkey"),
+        (F.col("brand_a") == F.col("brand_b")).cast("int").alias("g_brand"),
+        (first("type_a") == first("type_b")).cast("int").alias("g_type"),
+        (F.col("size_a") == F.col("size_b")).cast("int").alias("g_size"),
+        (
+            F.abs(F.col("price_a") - F.col("price_b"))
+            <= F.lit(0.1) * F.greatest("price_a", "price_b")
+        ).cast("int").alias("g_price"),
+        (last("name_a") == last("name_b")).cast("int").alias("g_name"),
+    )
+
+
+_FS_PAIRS_SQL = """
+with a as (
+  select p_partkey as k, p_name as name_a, p_brand as brand_a,
+         p_type as type_a, p_size as size_a, p_retailprice as price_a
+  from part
+), b as (
+  select p_partkey - 1 as k, p_name as name_b, p_brand as brand_b,
+         p_type as type_b, p_size as size_b, p_retailprice as price_b
+  from part
+), pairs as (
+  select a.k as p_partkey,
+    cast(brand_a = brand_b as int) as g_brand,
+    cast(str_split(type_a, ' ')[1] = str_split(type_b, ' ')[1] as int)
+      as g_type,
+    cast(size_a = size_b as int) as g_size,
+    cast(abs(price_a - price_b)
+         <= cast(0.1 as double) * greatest(price_a, price_b) as int)
+      as g_price,
+    cast(str_split(name_a, ' ')[-1] = str_split(name_b, ' ')[-1] as int)
+      as g_name
+  from a join b on a.k = b.k
+)"""
+
+
+def q_fs_gamma_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS sufficient statistics: agreement-pattern counts (≤ 2^5 rows) over
+    the part-adjacent candidate pairs — the ONLY data-sized pass an EM fit
+    makes (operators/fellegi_sunter.py)."""
+    from ..operators.fellegi_sunter import gamma_pattern_counts
+
+    return gamma_pattern_counts(_fs_pair_gammas(spark, sf_dir), _FS_GAMMA_COLS)
+
+
+SQL_FS_GAMMA_PATTERNS = _FS_PAIRS_SQL + """
+select g_brand, g_type, g_size, g_price, g_name, count(*) as n
+from pairs group by 1, 2, 3, 4, 5
+"""
+
+
+def _fs_wv_sql(lam: float, m: list[float], u: list[float]) -> tuple[str, str]:
+    """w/v product expressions with Python-precomputed double literals in
+    the exact association order _posterior_expr uses."""
+    w = [f"cast({lam!r} as double)"]
+    v = [f"cast({1.0 - lam!r} as double)"]
+    for c, mi, ui in zip(_FS_GAMMA_COLS, m, u):
+        w.append(
+            f"(case when {c} = 1 then cast({mi!r} as double)"
+            f" else cast({1.0 - mi!r} as double) end)"
+        )
+        v.append(
+            f"(case when {c} = 1 then cast({ui!r} as double)"
+            f" else cast({1.0 - ui!r} as double) end)"
+        )
+    return " * ".join(w), " * ".join(v)
+
+
+def q_fs_em_onestep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed EM step from the fixed dyadic init: per attribute
+    (m_next, u_next, lam_next), exact-integer M-sums over 2^-30-quantized
+    posteriors — the engine-invariance unit the module's determinism
+    contract promises, held to a full SQL replica."""
+    from ..operators.fellegi_sunter import em_step, gamma_pattern_counts
+
+    counts = gamma_pattern_counts(_fs_pair_gammas(spark, sf_dir), _FS_GAMMA_COLS)
+    return em_step(counts, _FS_GAMMA_COLS, _FS_LAM0, _FS_M0, _FS_U0)
+
+
+def _fs_em_onestep_sql() -> str:
+    w, v = _fs_wv_sql(_FS_LAM0, _FS_M0, _FS_U0)
+    sums = [
+        "sum(n * p_int) as sum_np",
+        f"sum(n * ({_FS_Q} - p_int)) as sum_nq",
+        "sum(n) as sum_n",
+    ]
+    for c in _FS_GAMMA_COLS:
+        sums.append(f"sum(case when {c} = 1 then n * p_int else 0 end) as np_{c}")
+        sums.append(
+            f"sum(case when {c} = 1 then n * ({_FS_Q} - p_int) else 0 end) as nq_{c}"
+        )
+    arms = [
+        f"select '{c}' as attr,"
+        f" cast(np_{c} as double) / cast(sum_np as double) as m_next,"
+        f" cast(nq_{c} as double) / cast(sum_nq as double) as u_next,"
+        f" cast(sum_np as double)"
+        f" / (cast(sum_n as double) * cast({_FS_Q} as double)) as lam_next"
+        f" from sums"
+        for c in _FS_GAMMA_COLS
+    ]
+    return (
+        _FS_PAIRS_SQL
+        + f""",
+counts as (
+  select g_brand, g_type, g_size, g_price, g_name, count(*) as n
+  from pairs group by 1, 2, 3, 4, 5
+), post as (
+  select *, cast(floor((w / (w + v)) * cast({_FS_Q} as double)) as bigint)
+            as p_int
+  from (select *, {w} as w, {v} as v from counts)
+), sums as (
+  select {', '.join(sums)} from post
+)
+"""
+        + "\nunion all\n".join(arms)
+    )
+
+
+SQL_FS_EM_ONESTEP = _fs_em_onestep_sql()
+
+
+def q_fs_match_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-parameter FS posterior + Bayes factor per pair: the map-only
+    scoring path (no join, no UDF, whole-stage codegen), bit-matched to a
+    SQL oracle with the same literal arithmetic."""
+    from ..operators.fellegi_sunter import FSParams, score_fs
+
+    params = FSParams(_FS_LAM0, tuple(_FS_M0), tuple(_FS_U0))
+    return score_fs(_fs_pair_gammas(spark, sf_dir), _FS_GAMMA_COLS, params)
+
+
+def _fs_match_score_sql() -> str:
+    w, v = _fs_wv_sql(_FS_LAM0, _FS_M0, _FS_U0)
+    return (
+        _FS_PAIRS_SQL
+        + f"""
+select p_partkey, g_brand, g_type, g_size, g_price, g_name,
+       w / (w + v) as match_prob, w / v as bayes_factor
+from (select *, {w} as w, {v} as v from pairs)
+"""
+    )
+
+
+SQL_FS_MATCH_SCORE = _fs_match_score_sql()
+
+
+# --------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple] = {
@@ -3523,6 +3708,13 @@ REGISTRY: dict[str, tuple] = {
     ),
     "er_split_giant": (q_er_split_giant, SQL_ER_SPLIT_GIANT),
     "meta_blocking_wnp": (q_meta_blocking_wnp, SQL_META_BLOCKING_WNP),
+    # round-5 session-3: Fellegi-Sunter unsupervised matcher (pattern
+    # counts = the fit's sufficient statistic; one quantized EM step; fixed-
+    # parameter posterior scoring) — outside the 50-row driver window, fully
+    # oracle-backed in pytest like every entry here
+    "fs_gamma_patterns": (q_fs_gamma_patterns, SQL_FS_GAMMA_PATTERNS),
+    "fs_em_onestep": (q_fs_em_onestep, SQL_FS_EM_ONESTEP),
+    "fs_match_score": (q_fs_match_score, SQL_FS_MATCH_SCORE),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit
     # LAST deliberately: the driver's correctness window covers the first 50
     # registry entries, and every slot it spends on a rows-only query is an

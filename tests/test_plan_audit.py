@@ -30,12 +30,17 @@ NLJ_ALLOWED = {"ann_cosine_matches", "ann_topk"}
 #  - pr_threshold_sweep: the cumulative window runs over the groupBy(bin)
 #    output — at most n_bins + 1 rows by construction (the partial aggs
 #    that reduce the input to it are map-side and parallel), never O(input).
+#  - fs_em_onestep: the EM M-step's global agg merges map-side partial sums
+#    (one 13-sum row per partition) — and its INPUT is already the ≤ 2^k
+#    pattern-counts table, so even the partials see ≤ 2^k rows, never the
+#    candidate pairs (operators/fellegi_sunter.py scale shape).
 SINGLE_PARTITION_ALLOWED = {
     "confusion_matrix",
     "label_encode",
     "fk_surrogate_join",
     "stable_entity_ids",
     "pr_threshold_sweep",
+    "fs_em_onestep",
 }
 
 
