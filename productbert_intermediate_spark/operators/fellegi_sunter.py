@@ -316,6 +316,91 @@ def score_fs(
     return pairs.withColumn(posterior_col, p).withColumn(bayes_col, w / v)
 
 
+# Binarization cutoffs turning the pipeline's pair-feature family
+# (operators/scoring.py FEATURES) into FS agreement gammas. Heuristic
+# midpoints of the observed between-class gap (label-0 p90 vs label-1 p10 on
+# the synthetic e2e corpus: emb_cos 0.55/0.85, jac_tokens 0.23/0.42,
+# digit_jac 0.14/0.67, brand exact) — NOT label-fitted: the EM fit that
+# weighs them never reads a label. jw/lev_title and price_sim are excluded:
+# their class distributions overlap, and near-duplicate features would also
+# break FS's conditional-independence assumption harder.
+FS_FEATURE_THRESHOLDS: dict[str, float] = {
+    "emb_cos": 0.70,
+    "jac_tokens": 0.35,
+    "digit_jac": 0.50,
+    "brand_match": 1.00,
+}
+
+
+def feature_gammas(
+    features: DataFrame,
+    thresholds: dict[str, float] | None = None,
+    keep_cols: tuple[str, ...] = ("id_l", "id_r"),
+) -> DataFrame:
+    """Pair-feature table → FS agreement vectors (g_<feature> ∈ {0,1}).
+
+    NULL features read as disagreement (0) — the conservative direction.
+    Map-only JVM projection; gamma column order follows the thresholds
+    dict, which callers must hold fixed for a given fit.
+    """
+    th = FS_FEATURE_THRESHOLDS if thresholds is None else thresholds
+    return features.select(
+        *keep_cols,
+        *[
+            (F.coalesce(F.col(k), F.lit(0.0)) >= F.lit(float(v)))
+            .cast("int")
+            .alias(f"g_{k}")
+            for k, v in th.items()
+        ],
+    )
+
+
+def score_features_fs(
+    features: DataFrame,
+    thresholds: dict[str, float] | None = None,
+    threshold: float = 0.5,
+    max_iter: int = 500,
+    tol: float = 1e-8,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Unsupervised matcher over a checkpointed pair-feature table: binarize
+    features → fit EM (one pattern-count pass + k-bounded collect) → score
+    (map-only). Output mirrors the logistic scorer's contract:
+    (id_l, id_r, *features, score, match) with score = FS posterior.
+
+    Callers should hand in a MATERIALIZED feature table (the pipeline
+    checkpoints it first): the fit's count pass and the scoring pass each
+    scan the input once, and recomputing a pandas-UDF feature stage twice
+    would double the most expensive step.
+
+    ``stats``: optional dict filled with the fitted parameters and EM
+    iteration count for run reports.
+    """
+    th = FS_FEATURE_THRESHOLDS if thresholds is None else thresholds
+    gcols = [f"g_{k}" for k in th]
+    feature_cols = [c for c in features.columns if c not in ("id_l", "id_r")]
+    g = feature_gammas(features, th, keep_cols=tuple(features.columns))
+    params = fit_em(g, gcols, max_iter=max_iter, tol=tol)
+    if stats is not None:
+        stats.update(
+            {
+                "fs_lam": params.lam,
+                "fs_m": {k: params.m[i] for i, k in enumerate(th)},
+                "fs_u": {k: params.u[i] for i, k in enumerate(th)},
+                "fs_em_iters": params.n_iter,
+                "fs_em_converged": params.converged,
+            }
+        )
+    scored = score_fs(g, gcols, params, posterior_col="score")
+    return scored.select(
+        "id_l",
+        "id_r",
+        *feature_cols,
+        "score",
+        (F.col("score") >= F.lit(float(threshold))).alias("match"),
+    )
+
+
 def params_table(spark: SparkSession, params: FSParams, gamma_cols: list[str]) -> DataFrame:
     """FSParams → one row per attribute (attr, m, u, lam) for reports."""
     return spark.createDataFrame(

@@ -69,8 +69,14 @@ def run_pipeline(
       (/root/reference/src/productbert/test.py:54-93). The default encoder
       is the honestly-labeled IDF-weighted frozen stand-in; a real
       fine-tuned model drops into the same seam.
+    * ``"fs"`` — UNSUPERVISED Fellegi-Sunter matcher
+      (fellegi_sunter.score_features_fs): the same feature stage as the
+      logistic path, checkpointed (``fs_pair_features``), then agreement
+      gammas → EM-fitted m/u/λ → posterior, no labels anywhere. The
+      bootstrap path for a corpus with no gold standard yet; the fitted
+      parameters land in the run report (stages.scored_pairs.fs_*).
 
-    Both emit (id_l, id_r, …, logit, score, match); stage checkpoints are
+    All emit (id_l, id_r, …, score, match); stage checkpoints are
     keyed on the scorer choice, so switching scorers invalidates
     scored_pairs and downstream but resumes offers/candidates.
 
@@ -294,12 +300,41 @@ def run_pipeline(
             broadcast_offers=n_offers is not None
             and n_offers <= S.TEXT_BROADCAST_MAX_OFFERS,
         )
+    elif scorer == "fs":
+        from ..operators.fellegi_sunter import (
+            FS_FEATURE_THRESHOLDS,
+            score_features_fs,
+        )
+
+        # Checkpoint the feature table first: the EM fit's pattern-count
+        # pass and the scoring pass each scan it once, and re-running the
+        # pandas-UDF feature stage twice would double the expensive step.
+        k_feat = _params_key(parent=k_pairs, stage="fs_features")
+        feats, fres = cat.write_or_resume(
+            "fs_pair_features",
+            lambda: S.score_candidates(
+                candidates, offers, n_offers=n_offers,
+                salt_hot_ids=salt_hot_ids,
+            ).select("id_l", "id_r", *S.FEATURES),
+            params_key=k_feat,
+            force=force,
+        )
+        report["stages"]["fs_pair_features"] = {"resumed": fres}
+        fs_stats: dict = {}
+        k_scored = _params_key(
+            parent=k_feat, scorer="fs", thresholds=FS_FEATURE_THRESHOLDS
+        )
+        build_scored = lambda: score_features_fs(  # noqa: E731
+            feats, stats=fs_stats
+        )
     else:
-        raise ValueError(f"unknown scorer {scorer!r} (logistic|encoder)")
+        raise ValueError(f"unknown scorer {scorer!r} (logistic|encoder|fs)")
     scored, resumed = cat.write_or_resume(
         "scored_pairs", build_scored, params_key=k_scored, force=force
     )
     report["stages"]["scored_pairs"] = {"resumed": resumed}
+    if scorer == "fs" and fs_stats:
+        report["stages"]["scored_pairs"].update(fs_stats)
 
     if max_entity_size is None:
         k_ent = _params_key(parent=k_scored)
@@ -516,7 +551,9 @@ def main() -> None:  # pragma: no cover - CLI entry
     p.add_argument("--pages", required=True)
     p.add_argument("--workdir", required=True)
     p.add_argument("--labeled")
-    p.add_argument("--scorer", choices=("logistic", "encoder"), default="logistic")
+    p.add_argument(
+        "--scorer", choices=("logistic", "encoder", "fs"), default="logistic"
+    )
     p.add_argument("--force", action="store_true")
     p.add_argument(
         "--stabilize-against",

@@ -84,6 +84,51 @@ def test_pairwise_f1_gate_encoder_path(e2e_encoder_run):
     assert f1 is not None and f1 >= 0.99, report["pairwise_eval"]
 
 
+@pytest.fixture(scope="module")
+def e2e_fs_run(spark, e2e_dir, tmp_path_factory):
+    """Same corpus, UNSUPERVISED Fellegi-Sunter scorer, own workdir."""
+    workdir = str(tmp_path_factory.mktemp("pipeline_run_fs"))
+    report = run_pipeline(
+        spark,
+        f"{e2e_dir}/pages.parquet",
+        workdir,
+        labeled_path=f"{e2e_dir}/labeled_pairs_gs.parquet",
+        scorer="fs",
+    )
+    return workdir, report
+
+
+def test_pairwise_f1_gate_fs_path(e2e_fs_run):
+    """The unsupervised FS scorer (feature gammas → EM-fitted m/u/λ →
+    posterior ≥ 0.5) must clear the same F1 ≥ 0.99 north-rule gate as the
+    two supervised scorers — the labels are used ONLY for evaluation here;
+    the fit never reads them (operators/fellegi_sunter.py)."""
+    _, report = e2e_fs_run
+    f1 = report["pairwise_eval"]["f1"]
+    assert f1 is not None and f1 >= 0.99, report["pairwise_eval"]
+    sp = report["stages"]["scored_pairs"]
+    assert sp["fs_em_converged"] is True
+    # fitted params must separate: every attribute's m above its u
+    for k, m in sp["fs_m"].items():
+        assert m > sp["fs_u"][k], (k, sp)
+    # feature stage is checkpointed once and owned by the fs path
+    assert "fs_pair_features" in report["stages"]
+
+
+def test_fs_path_resumes_feature_stage(spark, e2e_dir, e2e_fs_run):
+    """Re-running the fs-scored pipeline resumes BOTH the feature stage and
+    scored_pairs (params keys cover thresholds + parent lineage)."""
+    workdir, _ = e2e_fs_run
+    report = run_pipeline(
+        spark,
+        f"{e2e_dir}/pages.parquet",
+        workdir,
+        scorer="fs",
+    )
+    assert report["stages"]["fs_pair_features"]["resumed"]
+    assert report["stages"]["scored_pairs"]["resumed"]
+
+
 def test_scorer_switch_invalidates_only_scored_stage(spark, e2e_dir, e2e_encoder_run):
     """Switching scorer resumes offers/candidates but rebuilds scored_pairs:
     the checkpoint params key carries the scorer choice."""
