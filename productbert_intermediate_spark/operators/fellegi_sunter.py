@@ -410,3 +410,98 @@ def params_table(spark: SparkSession, params: FSParams, gamma_cols: list[str]) -
         ],
         "attr string, m double, u double, lam double",
     )
+
+
+def term_frequency(records: DataFrame, value_col: str) -> DataFrame:
+    """Per-value relative frequency over the record corpus: (value, tf).
+
+    tf(v) = n_v / N is the probability a random record carries v — the
+    value-specific stand-in for the attribute's global u: two records
+    agreeing on a RARE value is much stronger match evidence than agreeing
+    on a ubiquitous one (the adjustment Splink popularised; Winkler 1988's
+    frequency-based matching before it). One partial-aggregable groupBy
+    over the attribute's value domain; NULLs carry no agreement evidence
+    and are excluded.
+
+    The result is value-domain-sized (brands, cities, ...), usually
+    broadcast-able; ``score_fs_tf`` joins it per TF-adjusted attribute.
+    """
+    nn = records.where(F.col(value_col).isNotNull())
+    counts = nn.groupBy(F.col(value_col).alias("value")).agg(
+        F.count(F.lit(1)).alias("n_v")
+    )
+    # one scalar N via a window-free cross-join of a 1-row agg: Spark plans
+    # this as a broadcast, keeping the stage fully parallel
+    total = nn.agg(F.count(F.lit(1)).alias("n_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "value",
+        (F.col("n_v").cast("double") / F.col("n_total").cast("double")).alias("tf"),
+    )
+
+
+def score_fs_tf(
+    pairs: DataFrame,
+    gamma_cols: list[str],
+    params: FSParams,
+    tf_adjust: dict[str, tuple[str, str, DataFrame]],
+    posterior_col: str = "match_prob",
+    bayes_col: str = "bayes_factor",
+    broadcast_tf: bool = True,
+    min_tf: float = 1e-9,
+) -> DataFrame:
+    """FS scoring with term-frequency-adjusted agreement evidence.
+
+    ``tf_adjust`` maps a gamma column to ``(val_l, val_r, tf_table)``: when
+    that gamma agrees AND the two sides carry the same non-NULL value v,
+    its Bayes factor becomes m_i / max(tf(v), min_tf) instead of m_i / u_i
+    — same total K for average-frequency values, much larger for rare ones,
+    smaller for head values (exactly where false matches concentrate at
+    web scale: two offers both titled "new" mean nothing). Gammas that
+    agree WITHOUT a usable shared value (NULLs, or the gamma came from a
+    banded comparison) fall back to the global u_i; disagreement factors
+    are unchanged.
+
+    Plan shape: one equi-join per adjusted attribute against its
+    value-domain-sized tf table (broadcast by default), then literal
+    arithmetic — no UDF. Posterior is rebuilt from prior odds × Π K_i, so
+    the unadjusted attributes contribute identically to ``score_fs``.
+    """
+    out = pairs
+    for g, (vl, vr, tf_df) in tf_adjust.items():
+        t = tf_df.select(
+            F.col("value").alias(f"_tfv_{g}"), F.col("tf").alias(f"_tf_{g}")
+        )
+        if broadcast_tf:
+            t = F.broadcast(t)
+        shared = F.when(
+            (F.col(g) == 1)
+            & F.col(vl).isNotNull()
+            & (F.col(vl) == F.col(vr)),
+            F.col(vl),
+        )
+        out = out.withColumn(f"_tfv_in_{g}", shared).join(
+            t, F.col(f"_tfv_in_{g}") == F.col(f"_tfv_{g}"), "left"
+        )
+
+    odds = F.lit(float(params.lam)) / F.lit(float(1.0 - params.lam))
+    for i, g in enumerate(gamma_cols):
+        m_i = float(params.m[i])
+        u_i = float(params.u[i])
+        agree_k = F.lit(m_i) / F.lit(u_i)
+        if g in tf_adjust:
+            tf = F.col(f"_tf_{g}")
+            agree_k = F.when(
+                tf.isNotNull(),
+                F.lit(m_i) / F.greatest(tf, F.lit(float(min_tf))),
+            ).otherwise(agree_k)
+        k_i = F.when(F.col(g) == 1, agree_k).otherwise(
+            F.lit(float(1.0 - m_i)) / F.lit(float(1.0 - u_i))
+        )
+        odds = odds * k_i
+
+    drop = [c for g in tf_adjust for c in (f"_tfv_in_{g}", f"_tfv_{g}", f"_tf_{g}")]
+    return (
+        out.withColumn(bayes_col, odds * F.lit(float((1.0 - params.lam) / params.lam)))
+        .withColumn(posterior_col, odds / (odds + F.lit(1.0)))
+        .drop(*drop)
+    )

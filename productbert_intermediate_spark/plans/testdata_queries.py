@@ -3582,6 +3582,110 @@ from (select *, {w} as w, {v} as v from pairs)
 SQL_FS_MATCH_SCORE = _fs_match_score_sql()
 
 
+def _fs_pair_gammas_with_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FS pair gammas plus the shared-value columns the TF adjustment
+    consumes (brand on both sides)."""
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_type").alias("type_a"),
+        F.col("p_size").alias("size_a"),
+        F.col("p_retailprice").alias("price_a"),
+    )
+    b = part.select(
+        (F.col("p_partkey") - 1).alias("k"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_type").alias("type_b"),
+        F.col("p_size").alias("size_b"),
+        F.col("p_retailprice").alias("price_b"),
+    )
+    first = lambda c: F.split(F.col(c), " ").getItem(0)  # noqa: E731
+    last = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    return a.join(b, "k").select(
+        F.col("k").alias("p_partkey"),
+        "brand_a",
+        "brand_b",
+        (F.col("brand_a") == F.col("brand_b")).cast("int").alias("g_brand"),
+        (first("type_a") == first("type_b")).cast("int").alias("g_type"),
+        (F.col("size_a") == F.col("size_b")).cast("int").alias("g_size"),
+        (
+            F.abs(F.col("price_a") - F.col("price_b"))
+            <= F.lit(0.1) * F.greatest("price_a", "price_b")
+        ).cast("int").alias("g_price"),
+        (last("name_a") == last("name_b")).cast("int").alias("g_name"),
+    )
+
+
+def q_fs_tf_adjusted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS posterior with term-frequency-adjusted brand agreement
+    (operators/fellegi_sunter.py score_fs_tf): agreeing on a rare brand
+    multiplies the Bayes factor by m/tf(v) instead of the global m/u —
+    one broadcast equi-join against the value-domain-sized tf table, then
+    literal arithmetic, held to a full SQL replica."""
+    from ..operators.fellegi_sunter import FSParams, score_fs_tf, term_frequency
+
+    pairs = _fs_pair_gammas_with_brand(spark, sf_dir)
+    tf = term_frequency(_t(spark, sf_dir, "part"), "p_brand")
+    params = FSParams(_FS_LAM0, tuple(_FS_M0), tuple(_FS_U0))
+    out = score_fs_tf(
+        pairs, _FS_GAMMA_COLS, params, {"g_brand": ("brand_a", "brand_b", tf)}
+    )
+    return out.select(
+        "p_partkey", *_FS_GAMMA_COLS, "match_prob", "bayes_factor"
+    )
+
+
+def _fs_tf_adjusted_sql() -> str:
+    lam, m, u = _FS_LAM0, _FS_M0, _FS_U0
+    ks = []
+    for i, c in enumerate(_FS_GAMMA_COLS):
+        agree = f"cast({m[i]!r} as double) / cast({u[i]!r} as double)"
+        if c == "g_brand":
+            agree = (
+                f"(case when tf is not null then cast({m[i]!r} as double)"
+                f" / greatest(tf, cast(1e-09 as double)) else {agree} end)"
+            )
+        ks.append(
+            f"(case when {c} = 1 then {agree}"
+            f" else cast({1.0 - m[i]!r} as double)"
+            f" / cast({1.0 - u[i]!r} as double) end)"
+        )
+    odds = (
+        f"cast({lam!r} as double) / cast({1.0 - lam!r} as double) * "
+        + " * ".join(ks)
+    )
+    return (
+        _FS_PAIRS_SQL.replace(
+            "select a.k as p_partkey,",
+            "select a.k as p_partkey, brand_a, brand_b,",
+        )
+        + f""",
+tf as (
+  select p_brand as value,
+         cast(count(*) as double)
+         / cast((select count(*) from part where p_brand is not null)
+                as double) as tf
+  from part where p_brand is not null group by 1
+), joined as (
+  select p.*, tf.tf
+  from pairs p left join tf
+    on p.g_brand = 1 and p.brand_a is not null
+   and p.brand_a = p.brand_b and p.brand_a = tf.value
+)
+select p_partkey, g_brand, g_type, g_size, g_price, g_name,
+       odds / (odds + cast(1.0 as double)) as match_prob,
+       odds * cast({(1.0 - lam) / lam!r} as double) as bayes_factor
+from (select *, {odds} as odds from joined)
+"""
+    )
+
+
+SQL_FS_TF_ADJUSTED_SCORE = _fs_tf_adjusted_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3715,6 +3819,7 @@ REGISTRY: dict[str, tuple] = {
     "fs_gamma_patterns": (q_fs_gamma_patterns, SQL_FS_GAMMA_PATTERNS),
     "fs_em_onestep": (q_fs_em_onestep, SQL_FS_EM_ONESTEP),
     "fs_match_score": (q_fs_match_score, SQL_FS_MATCH_SCORE),
+    "fs_tf_adjusted_score": (q_fs_tf_adjusted_score, SQL_FS_TF_ADJUSTED_SCORE),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit
     # LAST deliberately: the driver's correctness window covers the first 50
     # registry entries, and every slot it spends on a rows-only query is an

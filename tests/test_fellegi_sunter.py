@@ -175,6 +175,52 @@ def test_unsupervised_fit_separates_synthetic_corpus(spark, fixtures_dir):
     assert f1 >= 0.90, (prec, rec, f1)
 
 
+def test_term_frequency_and_tf_adjusted_scoring(spark):
+    from productbert_intermediate_spark.operators.fellegi_sunter import (
+        score_fs_tf,
+        term_frequency,
+    )
+
+    recs = spark.createDataFrame(
+        [("acme",)] * 8 + [("rare",)] * 1 + [(None,)] * 1, "brand string"
+    )
+    tf = {r["value"]: r["tf"] for r in term_frequency(recs, "brand").collect()}
+    assert tf == {"acme": 8 / 9, "rare": 1 / 9}  # NULLs excluded from N
+
+    params = FSParams(0.25, (0.875,), (0.125,))
+    pairs = spark.createDataFrame(
+        [
+            (1, "rare", "rare", 1),   # rare agreement: strongest
+            (2, "acme", "acme", 1),   # head-value agreement: weaker than global
+            (3, None, None, 1),       # agreement w/o usable value: global u
+            (4, "acme", "rare", 0),   # disagreement: unchanged
+        ],
+        "pid long, brand_a string, brand_b string, g_brand int",
+    )
+    out = {
+        r["pid"]: r
+        for r in score_fs_tf(
+            pairs,
+            ["g_brand"],
+            params,
+            {"g_brand": ("brand_a", "brand_b", term_frequency(recs, "brand"))},
+        ).collect()
+    }
+    # K(rare)=m/(1/9)=7.875 > K(global)=m/u=7.0 > K(acme)=m/(8/9)=0.984
+    assert abs(out[1]["bayes_factor"] - 0.875 * 9) < 1e-12
+    assert abs(out[3]["bayes_factor"] - 7.0) < 1e-12
+    assert abs(out[2]["bayes_factor"] - 0.875 * 9 / 8) < 1e-12
+    assert abs(out[4]["bayes_factor"] - (0.125 / 0.875)) < 1e-12
+    assert (
+        out[2]["match_prob"] < out[3]["match_prob"] < out[1]["match_prob"]
+    )
+    # posterior consistency: odds/(1+odds) with odds = lam/(1-lam)*K
+    odds = 0.25 / 0.75 * out[1]["bayes_factor"]
+    assert abs(out[1]["match_prob"] - odds / (1 + odds)) < 1e-12
+    # join left intact: no helper columns leak
+    assert not [c for c in out[1].asDict() if c.startswith("_tf")]
+
+
 def test_fit_em_parallelism_invariant(spark, fixtures_dir):
     pairs = spark.read.parquet(f"{fixtures_dir}/labeled_pairs_gs.parquet")
     gcols = ["g_title", "g_brand", "g_desc"]

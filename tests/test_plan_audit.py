@@ -16,7 +16,10 @@ from tests.conftest import TESTDATA_SF_DIR as SF_DIR
 # BroadcastNestedLoopJoin is acceptable only when the broadcast side is a
 # constant-size frame (here: the single query vector crossJoined against
 # the corpus — a map-only broadcast scan, not an O(n^2) join).
-NLJ_ALLOWED = {"ann_cosine_matches", "ann_topk"}
+# fs_tf_adjusted_score: term_frequency's crossJoin of a ONE-ROW broadcast
+# total onto the value-domain counts plans as a BroadcastNestedLoopJoin —
+# O(1) broadcast side, never O(input).
+NLJ_ALLOWED = {"ann_cosine_matches", "ann_topk", "fs_tf_adjusted_score"}
 
 # SinglePartition exchanges allowed only where the single partition holds
 # O(1) or O(num_partitions) rows, never O(input):
@@ -41,6 +44,9 @@ SINGLE_PARTITION_ALLOWED = {
     "stable_entity_ids",
     "pr_threshold_sweep",
     "fs_em_onestep",
+    # term_frequency's global N: the merge partition holds one count row
+    # per map partition (the value-domain counts stay parallel)
+    "fs_tf_adjusted_score",
 }
 
 
