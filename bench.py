@@ -185,6 +185,27 @@ def _bench_er_throughput(spark, n_pages: int) -> tuple[float, float, dict[str, f
     _loadavg_bracket("er_cluster")
     timings["er_cluster"] = min(cluster_runs)
 
+    # Unsupervised FS decision layer (operators/fellegi_sunter.py) over the
+    # SAME cached feature table the logistic pass produced — the marginal
+    # cost of scorer="fs" beyond the shared feature stage: one pattern-count
+    # pass (≤ 2^k-row shuffle), driver-side EM, map-only posterior.
+    from productbert_intermediate_spark.operators import fellegi_sunter as FS
+
+    fs_feats = scored.select("id_l", "id_r", *S.FEATURES)
+    fs_gcols = [f"g_{k}" for k in FS.FS_FEATURE_THRESHOLDS]
+    fs_runs = []
+    _loadavg_bracket("er_fs_decision")
+    for _ in range(2):
+        t0 = time.time()
+        fs_g = FS.feature_gammas(fs_feats)
+        fs_params = FS.fit_em(fs_g, fs_gcols, max_iter=500, tol=1e-8)
+        _materialize(
+            FS.score_fs(fs_g, fs_gcols, fs_params, posterior_col="score")
+        )
+        fs_runs.append(time.time() - t0)
+    _loadavg_bracket("er_fs_decision")
+    timings["er_fs_decision"] = min(fs_runs)
+
     offers.unpersist()
     pairs.unpersist()
     scored.unpersist()
