@@ -216,6 +216,7 @@ def em_fit_counts(
     u0: float | list[float] = DEFAULT_U0,
     max_iter: int = 200,
     tol: float = 1e-10,
+    fix_u: list[float] | None = None,
 ) -> FSParams:
     """EM over local pattern counts: rows (g_1..g_k, n) → FSParams.
 
@@ -223,11 +224,20 @@ def em_fit_counts(
     deterministic for a given counts multiset regardless of row order —
     counts are re-sorted internally. Parameters are clamped to
     [_EPS, 1-_EPS] each M-step (Winkler's degenerate-boundary guard).
+
+    ``fix_u``: hold the u side fixed at externally-estimated values
+    (``estimate_u_from_random_pairs``) and let EM fit only m and λ — the
+    Splink training recipe; far more stable on weakly-separated gammas.
+    The label-switching guard is skipped when u is pinned (the match
+    class is determined by the fixed side).
     """
     pats = sorted((tuple(int(g) for g in r[:k]), int(r[k])) for r in counts)
     lam = float(lam0)
     m = [float(m0)] * k if isinstance(m0, (int, float)) else [float(x) for x in m0]
-    u = [float(u0)] * k if isinstance(u0, (int, float)) else [float(x) for x in u0]
+    if fix_u is not None:
+        u = [min(max(float(x), _EPS), 1.0 - _EPS) for x in fix_u]
+    else:
+        u = [float(u0)] * k if isinstance(u0, (int, float)) else [float(x) for x in u0]
     n_total = sum(n for _, n in pats)
     if n_total == 0:
         return FSParams(lam, tuple(m), tuple(u), 0, True)
@@ -256,7 +266,12 @@ def em_fit_counts(
                     nq_g[i] += nqv
         lam_new = clamp(sum_np / n_total)
         m_new = [clamp(np_g[i] / sum_np) if sum_np > 0 else m[i] for i in range(k)]
-        u_new = [clamp(nq_g[i] / sum_nq) if sum_nq > 0 else u[i] for i in range(k)]
+        if fix_u is not None:
+            u_new = u
+        else:
+            u_new = [
+                clamp(nq_g[i] / sum_nq) if sum_nq > 0 else u[i] for i in range(k)
+            ]
         delta = max(
             abs(lam_new - lam),
             max(abs(m_new[i] - m[i]) for i in range(k)),
@@ -270,7 +285,8 @@ def em_fit_counts(
     # Label-switching guard: EM is symmetric under (lam, m, u) →
     # (1-lam, u, m); pin "match" to the class with the higher mean
     # agreement rate so downstream thresholds read the right way.
-    if sum(m) < sum(u):
+    # Skipped when u is pinned — the fixed side defines the classes.
+    if fix_u is None and sum(m) < sum(u):
         lam, m, u = 1.0 - lam, u, m
     return FSParams(lam, tuple(m), tuple(u), it, converged)
 
@@ -283,17 +299,19 @@ def fit_em(
     u0: float | list[float] = DEFAULT_U0,
     max_iter: int = 200,
     tol: float = 1e-10,
+    fix_u: list[float] | None = None,
 ) -> FSParams:
     """Fit FS by EM from UNLABELED candidate pairs with gamma columns.
 
     One distributed pattern-count pass (the only data-sized work), then
     driver-side EM over ≤ 2^k sufficient-statistic rows (the collect is
-    k-bounded by construction — see module docstring).
+    k-bounded by construction — see module docstring). ``fix_u`` pins the
+    u side to externally-estimated rates (estimate_u_from_random_pairs).
     """
     k = len(gamma_cols)
     rows = gamma_pattern_counts(pairs, gamma_cols).collect()
     counts = [tuple(r[c] for c in gamma_cols) + (r["n"],) for r in rows]
-    return em_fit_counts(counts, k, lam0, m0, u0, max_iter, tol)
+    return em_fit_counts(counts, k, lam0, m0, u0, max_iter, tol, fix_u=fix_u)
 
 
 def score_fs(
@@ -410,6 +428,212 @@ def params_table(spark: SparkSession, params: FSParams, gamma_cols: list[str]) -
         ],
         "attr string, m double, u double, lam double",
     )
+
+
+@dataclass(frozen=True)
+class FSLevelParams:
+    """Multi-level FS model: per attribute, a distribution over ordinal
+    comparison levels (0 = total disagreement .. L_i-1 = exact match) for
+    each latent class — the Splink "comparison levels" generalisation of
+    the binary m/u."""
+
+    lam: float
+    m: tuple[tuple[float, ...], ...]
+    u: tuple[tuple[float, ...], ...]
+    n_iter: int = 0
+    converged: bool = True
+
+
+def em_fit_counts_levels(
+    counts: list[tuple],
+    levels: list[int],
+    lam0: float = 0.1,
+    max_iter: int = 200,
+    tol: float = 1e-10,
+) -> FSLevelParams:
+    """EM over pattern counts with ordinal gamma levels per attribute.
+
+    ``counts`` rows are (g_1..g_k, n) with g_i ∈ 0..levels[i]-1. Same
+    sufficient-statistic shape as the binary fit (≤ Π levels patterns);
+    driver-side, deterministic (internal sort, fixed order, clamped +
+    renormalized M-step).
+
+    Init (all deterministic): λ0; m favors HIGH levels geometrically
+    (m0[l] ∝ 2^l — matches agree), u starts at the observed marginal level
+    distribution (non-matches dominate any candidate mix, so the marginal
+    is an excellent u seed — Splink's u-from-random-pairs logic applied to
+    the data in hand). Label-switching guard compares the classes'
+    expected levels.
+    """
+    k = len(levels)
+    pats = sorted((tuple(int(g) for g in r[:k]), int(r[k])) for r in counts)
+    n_total = sum(n for _, n in pats)
+    lam = float(lam0)
+    m = [
+        [(1 << l) / float((1 << levels[i]) - 1) for l in range(levels[i])]
+        for i in range(k)
+    ]
+    u = []
+    for i in range(k):
+        marg = [0.0] * levels[i]
+        for g, n in pats:
+            marg[g[i]] += n
+        tot = sum(marg) or 1.0
+        u.append([max(_EPS, c / tot) for c in marg])
+    if n_total == 0:
+        return FSLevelParams(
+            lam, tuple(map(tuple, m)), tuple(map(tuple, u)), 0, True
+        )
+
+    def _norm(dist: list[float]) -> list[float]:
+        dist = [min(max(x, _EPS), 1.0 - _EPS) for x in dist]
+        s = sum(dist)
+        return [x / s for x in dist]
+
+    it = 0
+    converged = False
+    for it in range(1, max_iter + 1):
+        sum_np = sum_nq = 0.0
+        np_l = [[0.0] * levels[i] for i in range(k)]
+        nq_l = [[0.0] * levels[i] for i in range(k)]
+        for g, n in pats:
+            w = lam
+            v = 1.0 - lam
+            for i in range(k):
+                w *= m[i][g[i]]
+                v *= u[i][g[i]]
+            p = w / (w + v)
+            npv = n * p
+            nqv = n - npv
+            sum_np += npv
+            sum_nq += nqv
+            for i in range(k):
+                np_l[i][g[i]] += npv
+                nq_l[i][g[i]] += nqv
+        lam_new = min(max(sum_np / n_total, _EPS), 1.0 - _EPS)
+        m_new = [
+            _norm([np_l[i][l] / sum_np for l in range(levels[i])])
+            if sum_np > 0
+            else m[i]
+            for i in range(k)
+        ]
+        u_new = [
+            _norm([nq_l[i][l] / sum_nq for l in range(levels[i])])
+            if sum_nq > 0
+            else u[i]
+            for i in range(k)
+        ]
+        delta = abs(lam_new - lam)
+        for i in range(k):
+            for l in range(levels[i]):
+                delta = max(
+                    delta, abs(m_new[i][l] - m[i][l]), abs(u_new[i][l] - u[i][l])
+                )
+        lam, m, u = lam_new, m_new, u_new
+        if delta < tol:
+            converged = True
+            break
+
+    # Label-switching guard: "match" is the class with the higher expected
+    # comparison level, summed over attributes.
+    exp_m = sum(sum(l * m[i][l] for l in range(levels[i])) for i in range(k))
+    exp_u = sum(sum(l * u[i][l] for l in range(levels[i])) for i in range(k))
+    if exp_m < exp_u:
+        lam, m, u = 1.0 - lam, u, m
+    return FSLevelParams(
+        lam, tuple(map(tuple, m)), tuple(map(tuple, u)), it, converged
+    )
+
+
+def fit_em_levels(
+    pairs: DataFrame,
+    gamma_cols: list[str],
+    levels: list[int],
+    lam0: float = 0.1,
+    max_iter: int = 200,
+    tol: float = 1e-10,
+) -> FSLevelParams:
+    """Multi-level EM fit from unlabeled pairs: one pattern-count pass,
+    driver-side EM over ≤ Π levels sufficient-statistic rows."""
+    rows = gamma_pattern_counts(pairs, gamma_cols).collect()
+    counts = [tuple(r[c] for c in gamma_cols) + (r["n"],) for r in rows]
+    return em_fit_counts_levels(counts, levels, lam0, max_iter, tol)
+
+
+def score_fs_levels(
+    pairs: DataFrame,
+    gamma_cols: list[str],
+    params: FSLevelParams,
+    posterior_col: str = "match_prob",
+    bayes_col: str = "bayes_factor",
+    explain: bool = False,
+) -> DataFrame:
+    """Posterior + Bayes factor under a multi-level FS model: per attribute
+    a when-chain maps the observed level to its factor m[l]/u[l] — literal
+    arithmetic, map-only, whole-stage codegen.
+
+    ``explain=True`` additionally emits one ``k_<gamma>`` column per
+    attribute (that attribute's Bayes-factor contribution) — the standard
+    FS interpretability readout: which fields drove this match decision.
+    """
+    lam = params.lam
+    odds = F.lit(float(lam)) / F.lit(float(1.0 - lam))
+    out = pairs
+    for i, g in enumerate(gamma_cols):
+        k_i = F.lit(None).cast("double")
+        for l in range(len(params.m[i]) - 1, -1, -1):
+            # Python-precomputed per-level factor: one literal per level
+            factor = float(params.m[i][l]) / float(params.u[i][l])
+            k_i = F.when(F.col(g) == l, F.lit(factor)).otherwise(k_i)
+        if explain:
+            out = out.withColumn(f"k_{g}", k_i)
+            k_i = F.col(f"k_{g}")
+        odds = odds * k_i
+    return out.withColumn(
+        bayes_col, odds * F.lit(float((1.0 - lam) / lam))
+    ).withColumn(posterior_col, odds / (odds + F.lit(1.0)))
+
+
+def estimate_u_from_random_pairs(
+    records: DataFrame,
+    gamma_of_pair,
+    gamma_cols: list[str],
+    n_pairs: int,
+    seed: int = 42,
+) -> list[float]:
+    """Direct u estimation from random record pairs (Splink's
+    estimate_u_using_random_sampling): two random records are a non-match
+    with probability ≈ 1 at web scale, so each gamma's agreement rate over
+    random pairs IS u_i — no EM needed for the u side, which stabilises
+    the EM fit of m and λ enormously on weakly-separated attributes.
+
+    ``gamma_of_pair(left, right) -> DataFrame`` builds the gamma columns
+    from two aliased copies of ``records``. Sampling is seeded and
+    deterministic: each side is an independent md5-ordered shuffle, zipped
+    by row number — one window per side over a SAMPLED slice (bounded by
+    n_pairs), never the corpus.
+    """
+    from pyspark.sql import Window
+
+    total = records.count()
+    take = min(n_pairs, total)
+    frac = min(1.0, (take * 1.2 + 16) / max(total, 1))
+
+    def _side(tag: str) -> DataFrame:
+        s = records.sample(fraction=frac, seed=seed + (17 if tag == "r" else 0))
+        w = Window.orderBy(F.md5(F.concat_ws("\x01", *records.columns, F.lit(tag))))
+        return (
+            s.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= take)
+            .select(F.col("_rn"), *[F.col(c).alias(f"{c}_{tag}") for c in records.columns])
+        )
+
+    joined = _side("l").join(_side("r"), "_rn")
+    g = gamma_of_pair(joined)
+    row = g.agg(
+        *[F.avg(F.col(c).cast("double")).alias(c) for c in gamma_cols]
+    ).collect()[0]
+    return [max(_EPS, float(row[c] or 0.0)) for c in gamma_cols]
 
 
 def term_frequency(records: DataFrame, value_col: str) -> DataFrame:

@@ -3686,6 +3686,105 @@ from (select *, {odds} as odds from joined)
 SQL_FS_TF_ADJUSTED_SCORE = _fs_tf_adjusted_sql()
 
 
+# Multi-level FS scoring with per-attribute explanations: ordinal gammas
+# (0 = disagree .. L-1 = exact), fixed dyadic level distributions, and the
+# k_<gamma> Bayes-factor-contribution columns the explain path emits.
+_FS_LVL_GAMMAS = ["g_price3", "g_name3", "g_brand2"]
+_FS_LVL_LEVELS = [3, 3, 2]
+_FS_LVL_M = [(0.125, 0.25, 0.625), (0.0625, 0.1875, 0.75), (0.25, 0.75)]
+_FS_LVL_U = [(0.75, 0.1875, 0.0625), (0.875, 0.09375, 0.03125), (0.875, 0.125)]
+
+
+def q_fs_level_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level FS posterior with explanations
+    (operators/fellegi_sunter.py score_fs_levels): ordinal price/name
+    gammas, per-attribute factor columns, fixed dyadic parameters —
+    map-only when-chain arithmetic held to a full SQL replica."""
+    from ..operators.fellegi_sunter import FSLevelParams, score_fs_levels
+
+    part = _t(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_name").alias("name_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_retailprice").alias("price_a"),
+    )
+    b = part.select(
+        (F.col("p_partkey") - 1).alias("k"),
+        F.col("p_name").alias("name_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_retailprice").alias("price_b"),
+    )
+    last = lambda c: F.element_at(F.split(F.col(c), " "), -1)  # noqa: E731
+    pairs = a.join(b, "k").select(
+        F.col("k").alias("p_partkey"),
+        F.when(F.col("price_a") == F.col("price_b"), 2)
+        .when(
+            F.abs(F.col("price_a") - F.col("price_b"))
+            <= F.lit(0.1) * F.greatest("price_a", "price_b"),
+            1,
+        )
+        .otherwise(0)
+        .alias("g_price3"),
+        F.when(F.col("name_a") == F.col("name_b"), 2)
+        .when(last("name_a") == last("name_b"), 1)
+        .otherwise(0)
+        .alias("g_name3"),
+        (F.col("brand_a") == F.col("brand_b")).cast("int").alias("g_brand2"),
+    )
+    params = FSLevelParams(
+        _FS_LAM0, tuple(map(tuple, _FS_LVL_M)), tuple(map(tuple, _FS_LVL_U))
+    )
+    return score_fs_levels(pairs, _FS_LVL_GAMMAS, params, explain=True)
+
+
+def _fs_level_score_sql() -> str:
+    lam = _FS_LAM0
+    ks = []
+    for i, c in enumerate(_FS_LVL_GAMMAS):
+        arms = " ".join(
+            f"when {c} = {l} then cast({_FS_LVL_M[i][l] / _FS_LVL_U[i][l]!r} as double)"
+            for l in range(_FS_LVL_LEVELS[i])
+        )
+        ks.append(f"(case {arms} end) as k_{c}")
+    odds = (
+        f"cast({lam!r} as double) / cast({1.0 - lam!r} as double) * "
+        + " * ".join(f"k_{c}" for c in _FS_LVL_GAMMAS)
+    )
+    return f"""
+with a as (
+  select p_partkey as k, p_name as name_a, p_brand as brand_a,
+         p_retailprice as price_a
+  from part
+), b as (
+  select p_partkey - 1 as k, p_name as name_b, p_brand as brand_b,
+         p_retailprice as price_b
+  from part
+), pairs as (
+  select a.k as p_partkey,
+    case when price_a = price_b then 2
+         when abs(price_a - price_b)
+              <= cast(0.1 as double) * greatest(price_a, price_b) then 1
+         else 0 end as g_price3,
+    case when name_a = name_b then 2
+         when str_split(name_a, ' ')[-1] = str_split(name_b, ' ')[-1] then 1
+         else 0 end as g_name3,
+    cast(brand_a = brand_b as int) as g_brand2
+  from a join b on a.k = b.k
+), withk as (
+  select *, {', '.join(ks)} from pairs
+)
+select p_partkey, g_price3, g_name3, g_brand2,
+       k_g_price3, k_g_name3, k_g_brand2,
+       odds * cast({(1.0 - lam) / lam!r} as double) as bayes_factor,
+       odds / (odds + cast(1.0 as double)) as match_prob
+from (select *, {odds} as odds from withk)
+"""
+
+
+SQL_FS_LEVEL_SCORE = _fs_level_score_sql()
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -3820,6 +3919,7 @@ REGISTRY: dict[str, tuple] = {
     "fs_em_onestep": (q_fs_em_onestep, SQL_FS_EM_ONESTEP),
     "fs_match_score": (q_fs_match_score, SQL_FS_MATCH_SCORE),
     "fs_tf_adjusted_score": (q_fs_tf_adjusted_score, SQL_FS_TF_ADJUSTED_SCORE),
+    "fs_level_score": (q_fs_level_score, SQL_FS_LEVEL_SCORE),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit
     # LAST deliberately: the driver's correctness window covers the first 50
     # registry entries, and every slot it spends on a rows-only query is an

@@ -221,6 +221,150 @@ def test_term_frequency_and_tf_adjusted_scoring(spark):
     assert not [c for c in out[1].asDict() if c.startswith("_tf")]
 
 
+def _planted_level_counts(
+    lam=0.3,
+    m=((0.05, 0.15, 0.8), (0.1, 0.9), (0.2, 0.8)),
+    u=((0.7, 0.25, 0.05), (0.85, 0.15), (0.9, 0.1)),
+    n=500_000,
+):
+    """Exact expected counts under a 3-attribute multi-level FS model
+    (levels 3, 2, 2). Three attributes because two are NOT identifiable:
+    a (3,2)-level model has 7 free parameters against only 5 free pattern
+    probabilities, so EM converges to a different point on the likelihood
+    ridge; (3,2,2) gives 9 parameters against 11 dof."""
+    counts = []
+    for g0 in range(3):
+        for g1 in range(2):
+            for g2 in range(2):
+                pm = lam * m[0][g0] * m[1][g1] * m[2][g2]
+                pu = (1.0 - lam) * u[0][g0] * u[1][g1] * u[2][g2]
+                counts.append((g0, g1, g2, max(1, round(n * (pm + pu)))))
+    return counts
+
+
+def test_em_levels_recovers_planted_params():
+    from productbert_intermediate_spark.operators.fellegi_sunter import (
+        em_fit_counts_levels,
+    )
+
+    lam = 0.3
+    m = ((0.05, 0.15, 0.8), (0.1, 0.9), (0.2, 0.8))
+    u = ((0.7, 0.25, 0.05), (0.85, 0.15), (0.9, 0.1))
+    params = em_fit_counts_levels(_planted_level_counts(lam, m, u), [3, 2, 2])
+    assert params.converged
+    assert abs(params.lam - lam) < 0.01
+    for i in range(3):
+        for l in range(len(m[i])):
+            assert abs(params.m[i][l] - m[i][l]) < 0.01, (i, l, params)
+            assert abs(params.u[i][l] - u[i][l]) < 0.01, (i, l, params)
+    # distributions: each class's levels sum to 1
+    for dist in (*params.m, *params.u):
+        assert abs(sum(dist) - 1.0) < 1e-9
+
+
+def test_score_fs_levels_monotone_and_explains(spark):
+    from productbert_intermediate_spark.operators.fellegi_sunter import (
+        FSLevelParams,
+        score_fs_levels,
+    )
+
+    params = FSLevelParams(
+        0.3, ((0.05, 0.15, 0.8), (0.1, 0.9)), ((0.7, 0.25, 0.05), (0.85, 0.15))
+    )
+    rows = [(0, 0), (1, 0), (2, 0), (2, 1)]
+    df = spark.createDataFrame(rows, "g_a int, g_b int")
+    out = {
+        (r["g_a"], r["g_b"]): r
+        for r in score_fs_levels(df, ["g_a", "g_b"], params, explain=True).collect()
+    }
+    probs = [out[g]["match_prob"] for g in rows]
+    assert probs == sorted(probs)  # higher levels -> higher posterior
+    # explanation columns are the exact per-attribute factors and their
+    # product times prior odds reproduces the posterior odds
+    r = out[(2, 1)]
+    assert abs(r["k_g_a"] - 0.8 / 0.05) < 1e-12
+    assert abs(r["k_g_b"] - 0.9 / 0.15) < 1e-12
+    odds = 0.3 / 0.7 * r["k_g_a"] * r["k_g_b"]
+    assert abs(r["match_prob"] - odds / (1 + odds)) < 1e-12
+    assert abs(r["bayes_factor"] - r["k_g_a"] * r["k_g_b"]) < 1e-9
+
+
+def test_fit_em_levels_on_corpus(spark, fixtures_dir):
+    from productbert_intermediate_spark.operators.fellegi_sunter import (
+        fit_em_levels,
+        score_fs_levels,
+    )
+
+    pairs = spark.read.parquet(f"{fixtures_dir}/labeled_pairs_gs.parquet")
+    bin_g = _pair_gammas(pairs)
+    # 3-level title gamma: 0 = jaccard<0.25, 1 = [0.25,0.5), 2 = >=0.5
+    tok = lambda c: F.array_distinct(  # noqa: E731
+        F.split(F.lower(F.coalesce(F.col(c), F.lit(""))), r"\s+")
+    )
+    inter = F.size(F.array_intersect(tok("title_left"), tok("title_right")))
+    union = F.size(F.array_union(tok("title_left"), tok("title_right")))
+    jac = inter.cast("double") / F.greatest(union, F.lit(1)).cast("double")
+    lv = pairs.select(
+        "id_left",
+        "id_right",
+        F.when(jac >= 0.5, 2).when(jac >= 0.25, 1).otherwise(0).alias("g_title3"),
+    ).join(bin_g.select("id_left", "id_right", "g_brand", "g_desc"), ["id_left", "id_right"])
+    gcols = ["g_title3", "g_brand", "g_desc"]
+    params = fit_em_levels(lv, gcols, [3, 2, 2], max_iter=500, tol=1e-8)
+    scored = score_fs_levels(lv, gcols, params).join(
+        pairs.select("id_left", "id_right", "label"), ["id_left", "id_right"]
+    )
+    cm = scored.agg(
+        F.sum(((F.col("match_prob") >= 0.5) & (F.col("label") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("match_prob") >= 0.5) & (F.col("label") == 0)).cast("long")).alias("fp"),
+        F.sum(((F.col("match_prob") < 0.5) & (F.col("label") == 1)).cast("long")).alias("fn"),
+    ).collect()[0]
+    prec = cm["tp"] / max(1, cm["tp"] + cm["fp"])
+    rec = cm["tp"] / max(1, cm["tp"] + cm["fn"])
+    f1 = 2 * prec * rec / max(1e-9, prec + rec)
+    assert f1 >= 0.90, (prec, rec, f1, params)
+
+
+def test_fix_u_pins_u_through_em():
+    counts = _planted_counts()
+    fixed = [0.12, 0.21, 0.04]
+    params = em_fit_counts(counts, K, fix_u=fixed)
+    assert list(params.u) == fixed  # untouched by EM
+    assert params.converged
+    # m and lam still recovered near the planted values (0.03 tolerance:
+    # the pinned u values are deliberately offset from the planted truth,
+    # which biases the m fit proportionally)
+    assert abs(params.lam - 0.3) < 0.03
+    for i, want in enumerate((0.9, 0.8, 0.95)):
+        assert abs(params.m[i] - want) < 0.03
+
+
+def test_estimate_u_from_random_pairs(spark, fixtures_dir):
+    from productbert_intermediate_spark.operators.fellegi_sunter import (
+        estimate_u_from_random_pairs,
+    )
+
+    offers = spark.read.parquet(f"{fixtures_dir}/offers_truth.parquet").select(
+        "id", "brand", "cluster_id"
+    )
+
+    def gammas(joined):
+        return joined.select(
+            (
+                F.col("brand_l").isNotNull()
+                & F.col("brand_r").isNotNull()
+                & (F.col("brand_l") == F.col("brand_r"))
+            ).cast("int").alias("g_brand"),
+        )
+
+    u = estimate_u_from_random_pairs(offers, gammas, ["g_brand"], 400, seed=3)
+    # random-pair brand agreement: positive but far below the in-cluster
+    # rate; deterministic for a fixed seed
+    assert 0.0 < u[0] < 0.5
+    u2 = estimate_u_from_random_pairs(offers, gammas, ["g_brand"], 400, seed=3)
+    assert u == u2
+
+
 def test_fit_em_parallelism_invariant(spark, fixtures_dir):
     pairs = spark.read.parquet(f"{fixtures_dir}/labeled_pairs_gs.parquet")
     gcols = ["g_title", "g_brand", "g_desc"]
