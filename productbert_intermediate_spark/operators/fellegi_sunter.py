@@ -1,8 +1,10 @@
 """Fellegi-Sunter probabilistic record linkage with EM-estimated weights.
 
 The reference's matchers are all SUPERVISED — its training sets are built
-from a labeled gold standard (sample_intermediate_training_sets.py, and the
-BERT fine-tune in src/productbert/). A web-scale ER deployment usually has
+from a labeled gold standard (every pair carries a gold label:
+/root/reference/src/processing/sample-training-sets/
+build_intermediate_training_set.py:41-64; the magellan/wordcooc/BERT
+matchers all consume it). A web-scale ER deployment usually has
 no labels at the start: the standard bootstrap is the Fellegi-Sunter model
 (Fellegi & Sunter 1969, JASA 64) with parameters estimated by EM (Winkler
 1988), the approach productionised by the public Splink package. This
