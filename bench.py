@@ -206,6 +206,25 @@ def _bench_er_throughput(spark, n_pages: int) -> tuple[float, float, dict[str, f
     _loadavg_bracket("er_fs_decision")
     timings["er_fs_decision"] = min(fs_runs)
 
+    # Clean-clean linkage chain (operators/linkage.link_records): a parity
+    # split of the same corpus stands in for two separately-curated
+    # catalogs; cross-side-only blocking → the same scorer → greedy
+    # one-to-one. One end-to-end timing per rep (the assignment fixpoint
+    # runs eager rounds inside the call, so the timed region covers the
+    # whole decision layer), min-of-2 like the other stage figures.
+    from productbert_intermediate_spark.operators.linkage import link_records
+
+    link_left = offers.where("id % 2 = 0")
+    link_right = offers.where("id % 2 = 1")
+    link_runs = []
+    _loadavg_bracket("er_link_match")
+    for _ in range(2):
+        t0 = time.time()
+        _materialize(link_records(link_left, link_right))
+        link_runs.append(time.time() - t0)
+    _loadavg_bracket("er_link_match")
+    timings["er_link_match"] = min(link_runs)
+
     offers.unpersist()
     pairs.unpersist()
     scored.unpersist()

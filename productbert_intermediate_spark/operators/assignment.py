@@ -1,0 +1,139 @@
+"""One-to-one match assignment: from scored pairs to a matching.
+
+The reference stops at pairwise decisions: its matchers emit a label per
+candidate pair (predict_intermediate.py writes one prediction row per
+pair) and the dedup path resolves conflicts by transitive closure into
+entities. Clean-clean linkage (operators/linkage.py) has a different
+conflict rule: each left record corresponds to AT MOST ONE right record
+and vice versa (two curated catalogs each already deduplicated), so the
+post-scoring step is a bipartite matching over the scored pairs, not a
+closure. This module provides the two standard decision rules:
+
+* ``reciprocal_best_match`` — keep (l, r) iff r is l's best-scored
+  partner AND l is r's best (symmetric best match; Magellan / Dedupe's
+  default one-to-one heuristic). One pass, two windows.
+Both treat the pair table as BIPARTITE: id_l and id_r are separate
+namespaces (the clean-clean invariant — linkage.link_candidate_pairs
+emits left ids on id_l and right ids on id_r only). For dirty/dedup
+matching, where one id space appears on both sides, use transitive
+closure (operators/clustering.py) instead — one-to-one is not the right
+conflict rule there.
+
+* ``greedy_one_to_one`` — the sequential greedy matching: walk pairs in
+  (score desc, id_l, id_r) order, accept a pair iff neither endpoint is
+  already matched. Greedy is a 1/2-approximation to the maximum-weight
+  matching and is the usual ER choice (Hungarian is O(n^3) and needs the
+  full matrix). Computed WITHOUT sequential iteration over rows: per
+  round, accept every LOCALLY DOMINANT pair (first in the total order
+  among all pairs sharing either endpoint), remove matched endpoints,
+  repeat. With a strict total order this parallel fixpoint provably
+  equals the sequential greedy result (Preis 1999; Manne & Bisseling
+  2007, the distributed weighted-matching literature) — asserted against
+  a literal sequential reference in tests/test_assignment.py.
+
+Scale shape: reciprocal best is two window ranks over the pair table
+(partitioned by id_l / id_r — the same shuffle keys scoring already
+used). Greedy rounds are each two window ranks + one semi/anti join;
+rounds needed = length of the longest "domino chain" where accepting one
+pair unblocks the next (typically O(log n) on score-noise data; the
+strictly-decreasing-path worst case is O(n/2), so ``max_rounds`` guards
+with a loud error rather than silent truncation). Per-round
+localCheckpoint keeps lineage O(1) exactly like connected components
+(operators/clustering.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Deterministic strict total order on pairs: best score first, then ids.
+#: Both algorithms and the tests' sequential reference use THIS order, so
+#: ties never make the result partition-dependent.
+def _pair_order(score_col: str):
+    return [
+        F.col(score_col).desc(),
+        F.col("id_l").asc(),
+        F.col("id_r").asc(),
+    ]
+
+
+def reciprocal_best_match(
+    pairs: DataFrame, score_col: str = "score"
+) -> DataFrame:
+    """(id_l, id_r, score, ...) → the subset where each side is the
+    other's rank-1 partner under (score desc, id_l, id_r).
+
+    Output is a valid matching: rank-1 per id_l means no id_l repeats,
+    rank-1 per id_r means no id_r repeats. More conservative than greedy
+    (a record whose best partner prefers someone else stays unmatched
+    even if its second-best is mutual) — use greedy_one_to_one when
+    recall matters more than the mutual-preference guarantee.
+    """
+    order = _pair_order(score_col)
+    rl = F.row_number().over(Window.partitionBy("id_l").orderBy(*order))
+    rr = F.row_number().over(Window.partitionBy("id_r").orderBy(*order))
+    return (
+        pairs.withColumn("_rl", rl)
+        .withColumn("_rr", rr)
+        .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
+        .drop("_rl", "_rr")
+    )
+
+
+def greedy_one_to_one(
+    pairs: DataFrame,
+    score_col: str = "score",
+    max_rounds: int = 100,
+) -> DataFrame:
+    """(id_l, id_r, score, ...) → the sequential-greedy matching.
+
+    Equivalent to: sort pairs by (score desc, id_l, id_r); accept each
+    pair whose endpoints are both still free. Implemented as the
+    locally-dominant-pair fixpoint (module docstring): per round a pair
+    is accepted iff it is rank 1 in that order within BOTH its id_l
+    group and its id_r group among still-live pairs; its endpoints'
+    remaining pairs are then discarded. Two accepted pairs can't share
+    an endpoint (each is rank 1 at every endpoint it touches), and an
+    induction over rounds shows the accepted set equals the sequential
+    walk's.
+
+    Raises RuntimeError after ``max_rounds`` non-empty rounds rather
+    than silently returning a partial matching (the worst case — a long
+    strictly-score-decreasing domino chain — needs one round per two
+    chain links; real score distributions converge in O(log n)).
+    """
+    order = _pair_order(score_col)
+    rl = F.row_number().over(Window.partitionBy("id_l").orderBy(*order))
+    rr = F.row_number().over(Window.partitionBy("id_r").orderBy(*order))
+
+    live = pairs.localCheckpoint(eager=True)
+    accepted: DataFrame | None = None
+    for _ in range(max_rounds):
+        if live.isEmpty():
+            return accepted if accepted is not None else live
+        dominant = (
+            live.withColumn("_rl", rl)
+            .withColumn("_rr", rr)
+            .where((F.col("_rl") == 1) & (F.col("_rr") == 1))
+            .drop("_rl", "_rr")
+            # one round's winners are consumed three times (accumulate +
+            # two anti-joins) and seed the next round's lineage
+            .localCheckpoint(eager=True)
+        )
+        accepted = (
+            dominant
+            if accepted is None
+            else accepted.unionByName(dominant)
+        )
+        matched_l = dominant.select("id_l")
+        matched_r = dominant.select("id_r")
+        live = (
+            live.join(matched_l, "id_l", "left_anti")
+            .join(matched_r, "id_r", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"greedy_one_to_one did not converge in {max_rounds} rounds; "
+        "raise max_rounds (pathological score-decreasing chain)"
+    )

@@ -119,3 +119,120 @@ def link_candidate_pairs(
     # (id, band) with the band index baked into the key), so the join's
     # only duplication is a pair meeting under multiple keys — one distinct
     return kl.join(kr, "key").select("id_l", "id_r").distinct()
+
+
+def link_records(
+    left: DataFrame,
+    right: DataFrame,
+    weights: dict[str, float] | None = None,
+    one_to_one: str | None = "greedy",
+    n_left: int | None = None,
+    n_right: int | None = None,
+    blocking: dict | None = None,
+    tracker=None,
+    score_col: str = "logit",
+    match_only: bool = True,
+) -> DataFrame:
+    """End-to-end clean-clean linkage: two offer-schema tables →
+    (id_l, id_r, *FEATURES, logit, score, match) resolved pairs.
+
+    The linkage counterpart of run_pipeline's block→score tail: candidates
+    from ``link_candidate_pairs`` (cross-side only, per-key pair cap),
+    scored by the calibrated logistic matcher (scoring.score_candidates —
+    the SAME feature family and decision rule as dedup, reference
+    metric.py:21-27 threshold), then the linkage-specific decision layer:
+    because each side is already deduplicated, conflicts are resolved by
+    one-to-one assignment (operators/assignment.py), NOT transitive
+    closure.
+
+    ``one_to_one``: ``"greedy"`` (default; sequential-greedy matching =
+    1/2-approx max-weight), ``"mutual"`` (reciprocal best — more
+    conservative), or ``None`` (return every above-threshold pair,
+    conflicts included — the input a downstream human-review queue wants).
+
+    ``score_col`` ranks the assignment's preference order. The default is
+    ``"logit"``, not ``"score"``: sigmoid saturates to float 1.0 above
+    logit ≈ 36, so ranking on the post-sigmoid score would collapse
+    genuinely different strong pairs into id-order ties; the logit is the
+    same order in exact arithmetic with no saturation.
+
+    ``match_only=False`` assigns over ALL scored candidates instead of
+    only those clearing the decision threshold — every record gets its
+    best available partner with the ``match`` flag saying whether the
+    pair clears the rule, the shape a review queue consumes.
+
+    The two id spaces may overlap (two catalogs' autoincrement keys
+    usually do): internally ids are remapped to the disjoint space
+    ``id*2 + side`` for the shared scoring machinery and mapped back on
+    output — map-only both ways, order-preserving within each side, so
+    the assignment total order (score desc, id_l, id_r) is unchanged.
+
+    Scale shape: one union + the capped blocking chain, the scorer's
+    hydration joins + one Arrow crossing, then two window ranks
+    (mutual) or the dominant-pair fixpoint (greedy) over the MATCHED
+    pairs only — the post-threshold table, orders of magnitude smaller
+    than the candidate set. ``n_left``/``n_right`` (row counts, e.g.
+    from checkpoint manifests) let the scorer pick its broadcast-vs-
+    streamed text path without an extra count job.
+    """
+    from .assignment import greedy_one_to_one, reciprocal_best_match
+    from .scoring import PAIR_ATTRS as S_PAIR_ATTRS
+    from .scoring import score_candidates
+
+    if one_to_one not in (None, "greedy", "mutual"):
+        raise ValueError(
+            f"one_to_one={one_to_one!r}: expected 'greedy', 'mutual' or None"
+        )
+    cands = link_candidate_pairs(left, right, tracker=tracker, **(blocking or {}))
+    # Cut lineage between blocking and scoring (the analog of
+    # run_pipeline's candidate_pairs stage checkpoint — two longs/row).
+    cands = cands.localCheckpoint(eager=True)
+    pairs_u = cands.select(
+        (F.col("id_l") * 2).alias("id_l"),
+        (F.col("id_r") * 2 + 1).alias("id_r"),
+    )
+    # The scorer's offers side is the two catalogs UNION-tagged into the
+    # disjoint id space. Fused into the scoring stage, the two union
+    # branches' duplicated expression trees push the generated
+    # whole-stage-codegen method past the JVM's hard 64KB limit and the
+    # ENTIRE feature stage silently drops to interpreted execution
+    # (measured at bench scale — dedup's single-branch offers side
+    # compiles fine, the union does not). So: project down to exactly the
+    # columns the scorer reads and cut the union out of the stage with a
+    # localCheckpoint — the materialized table is the same order as the
+    # text index the scorer broadcasts anyway. A production run whose
+    # catalogs arrive pre-checkpointed (stage catalog, as run_pipeline
+    # does) pays nothing extra.
+    keep = ["id"] + [a for a in S_PAIR_ATTRS if a in left.columns]
+    union = (
+        left.withColumn("id", F.col("id") * 2)
+        .select(*keep)
+        .unionByName(
+            right.withColumn("id", F.col("id") * 2 + 1).select(*keep)
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_union = (
+        n_left + n_right if n_left is not None and n_right is not None else None
+    )
+    # Materialize the scored table BEFORE filtering on `match`: a filter
+    # on a computed column re-inlines the full logit/feature expression
+    # tree into the filter stage (score/match/filter each carry their own
+    # copy past CollapseProject), which alone crosses the 64KB codegen
+    # limit — measured on the DEDUP path too; run_pipeline never sees it
+    # because its scored_pairs stage checkpoints to parquet before the
+    # clustering filter, and this is the in-memory analog of that barrier.
+    scored = score_candidates(
+        pairs_u, union, weights=weights, n_offers=n_union
+    ).localCheckpoint(eager=True)
+    if match_only:
+        scored = scored.where("match")
+    if one_to_one == "greedy":
+        resolved = greedy_one_to_one(scored, score_col)
+    elif one_to_one == "mutual":
+        resolved = reciprocal_best_match(scored, score_col)
+    else:
+        resolved = scored
+    return resolved.withColumn(
+        "id_l", F.expr("id_l div 2")
+    ).withColumn("id_r", F.expr("id_r div 2"))

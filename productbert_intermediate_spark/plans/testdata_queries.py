@@ -2174,7 +2174,13 @@ def q_er_score_pairs_jvm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jvm_scorer_oracle_sql(docs_pred: str = "", text_expr: str = "") -> str:
+def _jvm_scorer_oracle_sql(
+    docs_pred: str = "",
+    text_expr: str = "",
+    pairs_sql: str | None = None,
+    tail_sql: str | None = None,
+    rare_df_cap: int = 5,
+) -> str:
     """``docs_pred``: extra SQL appended to the docs scope (e.g. a
     retraction predicate); ``text_expr``: a replacement expression for the
     text column (e.g. a re-crawl CASE) — the WHOLE pipeline arithmetic then
@@ -2182,15 +2188,42 @@ def _jvm_scorer_oracle_sql(docs_pred: str = "", text_expr: str = "") -> str:
     exactly the from-scratch semantics the retraction/upsert paths must
     equal. The ASCII scope filter stays on the ORIGINAL text (the WHERE
     sees table columns, REPLACE rewrites output), matching the Spark side,
-    which scopes before applying the re-crawl."""
+    which scopes before applying the re-crawl.
+
+    ``pairs_sql`` replaces the candidate-generation CTE body (default:
+    the dedup self-join over kept keys; the linkage oracle passes the
+    cross-side gated chain). ``tail_sql`` replaces everything after
+    ``feat2`` (default: the flat scored-pair select; the linkage oracle
+    appends the match filter + mutual-best double rank)."""
     from ..operators.scoring import DEFAULT_WEIGHTS as _W
 
     replace = f" replace ({text_expr} as text)" if text_expr else ""
+    if pairs_sql is None:
+        pairs_sql = """
+  select distinct a.doc_id as id_l, b.doc_id as id_r
+  from keyed a join keyed b
+    on a.source = b.source and a.t = b.t and a.doc_id < b.doc_id"""
 
     # brand/price are NULL on this corpus → both features are the constant
     # 0.5 neutral value; their weighted terms are folded in the same
     # left-associated order score_pairs uses (bias, then FEATURES order with
     # the two zero-weight UDF terms contributing exact +0.0).
+    logit = (
+        f"{_W['bias']!r} + {_W['lev_title']!r} * lev_title"
+        f" + {_W['jac_tokens']!r} * jac_tokens"
+        f" + {_W['digit_jac']!r} * digit_jac"
+        f" + {_W['brand_match']!r} * 0.5"
+        f" + {_W['price_sim']!r} * 0.5"
+    )
+    if tail_sql is None:
+        tail_sql = f"""
+select id_l, id_r, lev_title, jac_tokens, digit_jac,
+       {logit} as logit,
+       cast(({logit}) > 0 as int) as match
+from feat2
+"""
+    else:
+        tail_sql = tail_sql.format(logit=logit)
     return rf"""
 with docs as (
   -- ASCII scope (see q_er_score_pairs_jvm): byte == codepoint levenshtein
@@ -2211,14 +2244,11 @@ with docs as (
 ), kept as (
   select dfc.source as source, dfc.t as t
   from dfc join grp on dfc.source = grp.source
-  where df >= 2 and df <= least(5, cast(floor(0.8 * n) as bigint))
+  where df >= 2 and df <= least({rare_df_cap}, cast(floor(0.8 * n) as bigint))
 ), keyed as (
   select tok.doc_id as doc_id, tok.source as source, tok.t as t from tok
   join kept on tok.source = kept.source and tok.t = kept.t
-), pairs as (
-  select distinct a.doc_id as id_l, b.doc_id as id_r
-  from keyed a join keyed b
-    on a.source = b.source and a.t = b.t and a.doc_id < b.doc_id
+), pairs as ({pairs_sql}
 ), hyd as (
   select p.id_l, p.id_r,
          lower(coalesce(ta.text, '')) as tl,
@@ -2254,22 +2284,105 @@ with docs as (
          end as digit_jac
   from feat
 )
-select id_l, id_r, lev_title, jac_tokens, digit_jac,
-       {_W["bias"]!r} + {_W["lev_title"]!r} * lev_title
-                      + {_W["jac_tokens"]!r} * jac_tokens
-                      + {_W["digit_jac"]!r} * digit_jac
-                      + {_W["brand_match"]!r} * 0.5
-                      + {_W["price_sim"]!r} * 0.5 as logit,
-       cast(({_W["bias"]!r} + {_W["lev_title"]!r} * lev_title
-                            + {_W["jac_tokens"]!r} * jac_tokens
-                            + {_W["digit_jac"]!r} * digit_jac
-                            + {_W["brand_match"]!r} * 0.5
-                            + {_W["price_sim"]!r} * 0.5) > 0 as int) as match
-from feat2
-"""
+{tail_sql}"""
 
 
 SQL_ER_SCORE_PAIRS_JVM = _jvm_scorer_oracle_sql()
+
+
+def q_er_link_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL clean-clean linkage chain (operators/linkage.link_records):
+    cross-side-only blocking → the real score_candidates stage under
+    JVM_ONLY_WEIGHTS (Arrow crossing included, UDF features at weight 0 —
+    the q_er_score_pairs_jvm scoping argument, ASCII docs for byte ==
+    codepoint levenshtein) → one-to-one MUTUAL-BEST assignment
+    (operators/assignment.reciprocal_best_match), ranked on the logit
+    (see link_records: sigmoid saturates to float 1.0, the logit never
+    collapses strong pairs into id-order ties). ``match_only=False``:
+    the assignment runs over ALL scored candidates and the decision flag
+    rides as the ``match`` column — the review-queue shape, and a far
+    denser evidence row on this corpus (few cross-side pairs clear
+    logit > 0). Sides split (doc_id div 20) % 2 as q_er_link_pairs. The
+    oracle recomputes every stage: union dfs, cross-side pair gate,
+    term-for-term IEEE logit fold, and the same double row_number —
+    greedy_one_to_one (the non-SQL-expressible decision rule) rides its
+    sequential-reference pytest plus this query's per-round building
+    block."""
+    from ..operators.linkage import link_records
+    from ..operators.scoring import JVM_ONLY_WEIGHTS
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.length(F.encode(F.col("text"), "utf-8")) == F.length(F.col("text"))
+    )
+    offers = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("category"),
+        F.col("text").alias("title"),
+        F.lit(None).cast("string").alias("description"),
+        F.lit(None).cast("string").alias("brand"),
+        F.lit(None).cast("string").alias("price"),
+        F.lit(None).cast("string").alias("specTableContent"),
+    )
+    side = F.expr("(id div 20) % 2")
+    out = link_records(
+        offers.where(side == 0),
+        offers.where(side == 1),
+        weights=JVM_ONLY_WEIGHTS,
+        one_to_one="mutual",
+        blocking={"max_rare_df": 21, "max_block_pairs": 100, "use_lsh": False},
+        score_col="logit",
+        match_only=False,
+    )
+    return out.select(
+        "id_l",
+        "id_r",
+        "lev_title",
+        "jac_tokens",
+        "digit_jac",
+        "logit",
+        F.col("match").cast("int").alias("match"),
+    )
+
+
+# the linkage candidate chain (SQL_ER_LINK_PAIRS's gated cross-side
+# expansion) spliced into the scorer oracle's pairs seat, and the
+# mutual-best double rank spliced into its tail
+_LINK_PAIRS_SQL = """
+  select distinct a.doc_id as id_l, b.doc_id as id_r
+  from keyed a
+  join (
+    select source, t from keyed group by source, t
+    having count(distinct case when (doc_id // 20) % 2 = 0 then doc_id end) >= 1
+       and count(distinct case when (doc_id // 20) % 2 = 1 then doc_id end) >= 1
+       and count(distinct case when (doc_id // 20) % 2 = 0 then doc_id end)
+           * count(distinct case when (doc_id // 20) % 2 = 1 then doc_id end)
+           <= 100
+  ) gated on a.source = gated.source and a.t = gated.t
+  join keyed b on a.source = b.source and a.t = b.t
+  where (a.doc_id // 20) % 2 = 0 and (b.doc_id // 20) % 2 = 1"""
+
+_LINK_MATCH_TAIL_SQL = """, scoredp as (
+  select id_l, id_r, lev_title, jac_tokens, digit_jac, {logit} as logit,
+         cast(({logit}) > 0 as int) as match
+  from feat2
+), ranked as (
+  select *,
+    row_number() over (
+      partition by id_l order by logit desc, id_l asc, id_r asc) as rl,
+    row_number() over (
+      partition by id_r order by logit desc, id_l asc, id_r asc) as rr
+  from scoredp
+)
+select id_l, id_r, lev_title, jac_tokens, digit_jac, logit, match
+from ranked where rl = 1 and rr = 1
+"""
+
+# rare_df_cap 21 / pair cap 100 (vs the dedup chain's 5/25): the driver
+# corpus has only 6 cross-side pairs under df<=5 — the looser gates make
+# this a ~3k-candidate, hundreds-of-rows evidence row instead of a 5-row one
+SQL_ER_LINK_MATCH = _jvm_scorer_oracle_sql(
+    pairs_sql=_LINK_PAIRS_SQL, tail_sql=_LINK_MATCH_TAIL_SQL, rare_df_cap=21
+)
 
 
 def incr_er_scratch_root(spark: SparkSession, sf_dir: str) -> str:
@@ -3786,6 +3899,90 @@ SQL_FS_LEVEL_SCORE = _fs_level_score_sql()
 
 
 # --------------------------------------------------------------------------
+# one-to-one assignment (clean-clean linkage decision layer)
+
+
+def _assignment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bipartite scored-pair table over documents: sides
+    alternate WITHIN each source group ((doc_id div 20) % 2 — the same
+    split as q_er_link_pairs, for the same reason), candidates are all
+    cross-side same-source pairs thinned by an (id_l + id_r) % 7 keep
+    gate, and the score is the integer hash (id_l*1009 + id_r*9176) mod
+    104729 — exact in both engines (no floats), with enough shared
+    endpoints (~22 pairs per 25-doc group) to exercise the one-to-one
+    conflict rules."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("source").isNotNull())
+    side = F.expr("(doc_id div 20) % 2")
+    left = docs.where(side == 0).select(F.col("doc_id").alias("id_l"), "source")
+    right = docs.where(side == 1).select(F.col("doc_id").alias("id_r"), "source")
+    return (
+        left.join(right, "source")
+        .where(F.pmod(F.col("id_l") + F.col("id_r"), F.lit(7)) == 0)
+        .select(
+            "id_l",
+            "id_r",
+            F.pmod(
+                F.col("id_l") * F.lit(1009) + F.col("id_r") * F.lit(9176),
+                F.lit(104729),
+            ).alias("score"),
+        )
+    )
+
+
+def q_reciprocal_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one assignment, mutual-best rule (operators/assignment.
+    reciprocal_best_match): over a bipartite scored-pair table, keep
+    (l, r) iff r is l's rank-1 partner AND l is r's rank-1 partner under
+    the strict total order (score desc, id_l, id_r) — the decision layer
+    clean-clean linkage (operators/linkage.py) needs after scoring,
+    where transitive closure is the WRONG conflict rule (each side is
+    already deduplicated). Two window ranks, oracle = the same two
+    row_numbers in SQL."""
+    from ..operators.assignment import reciprocal_best_match
+
+    return reciprocal_best_match(_assignment_pairs(spark, sf_dir), "score")
+
+
+SQL_RECIPROCAL_BEST_MATCH = """
+with l as (
+  select doc_id as id_l, source from documents
+  where source is not null and (doc_id // 20) % 2 = 0
+), r as (
+  select doc_id as id_r, source from documents
+  where source is not null and (doc_id // 20) % 2 = 1
+), pairs as (
+  select id_l, id_r, (id_l * 1009 + id_r * 9176) % 104729 as score
+  from l join r using (source)
+  where (id_l + id_r) % 7 = 0
+), ranked as (
+  select id_l, id_r, score,
+    row_number() over (
+      partition by id_l order by score desc, id_l asc, id_r asc) as rl,
+    row_number() over (
+      partition by id_r order by score desc, id_l asc, id_r asc) as rr
+  from pairs
+)
+select id_l, id_r, score from ranked where rl = 1 and rr = 1
+"""
+
+
+def q_greedy_one_to_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-to-one assignment, sequential-greedy rule (operators/
+    assignment.greedy_one_to_one): walk pairs in (score desc, id_l,
+    id_r) order, accept a pair iff both endpoints are still free —
+    computed as the locally-dominant-pair fixpoint, which provably
+    equals the sequential walk (tests/test_assignment.py asserts this
+    against a literal collect-and-iterate reference). Rows-only in the
+    driver: the fixpoint's accepted-set recursion is not expressible in
+    a DuckDB recursive CTE (the recursive term would need windows/self-
+    joins over the working table); its per-round building block is
+    exactly reciprocal_best_match's oracle-checked double rank."""
+    from ..operators.assignment import greedy_one_to_one
+
+    return greedy_one_to_one(_assignment_pairs(spark, sf_dir), "score")
+
+
+# --------------------------------------------------------------------------
 # registry
 
 REGISTRY: dict[str, tuple] = {
@@ -3920,6 +4117,12 @@ REGISTRY: dict[str, tuple] = {
     "fs_match_score": (q_fs_match_score, SQL_FS_MATCH_SCORE),
     "fs_tf_adjusted_score": (q_fs_tf_adjusted_score, SQL_FS_TF_ADJUSTED_SCORE),
     "fs_level_score": (q_fs_level_score, SQL_FS_LEVEL_SCORE),
+    # round-5 session-4: the one-to-one assignment decision layer for
+    # clean-clean linkage (er_link_pairs produces the candidates; this
+    # resolves the scored pairs into a matching), then the FULL linkage
+    # chain (block → real scoring stage → mutual-best) in one row
+    "reciprocal_best_match": (q_reciprocal_best_match, SQL_RECIPROCAL_BEST_MATCH),
+    "er_link_match": (q_er_link_match, SQL_ER_LINK_MATCH),
     # Spark-private (no SQL equivalent → rows-only driver check). These sit
     # LAST deliberately: the driver's correctness window covers the first 50
     # registry entries, and every slot it spends on a rows-only query is an
@@ -3929,4 +4132,9 @@ REGISTRY: dict[str, tuple] = {
     "porter_stem": (q_porter_stem, None),
     "er_score_pairs": (q_er_score_pairs, None),
     "er_entities": (q_er_entities, None),
+    # greedy one-to-one matching: rows-only (fixpoint recursion is not
+    # SQL-expressible — see q_greedy_one_to_one), sequential-reference-
+    # checked in tests/test_assignment.py; its per-round double-rank
+    # building block is oracle-checked via reciprocal_best_match above
+    "greedy_one_to_one": (q_greedy_one_to_one, None),
 }

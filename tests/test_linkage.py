@@ -125,3 +125,107 @@ def test_link_pairs_partition_invariant(spark, fixtures_dir):
         max_rare_df=20, use_lsh=False,
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+# --------------------------------------------------------------------------
+# link_records: the end-to-end block -> score -> one-to-one flow
+
+
+def _clean_sides(spark, fixtures_dir):
+    """Two properly DEDUPLICATED catalogs from the fixture truth: per
+    cluster, the lowest even id goes left and the lowest odd id right —
+    so the true linkage is one-to-one by construction and carries
+    cluster_id for grading."""
+    offers = (
+        extract_offers(spark.read.parquet(f"{fixtures_dir}/pages.parquet"))
+        .where("id is not null")
+        .join(
+            spark.read.parquet(f"{fixtures_dir}/offers_truth.parquet")
+            .select("id", "cluster_id"),
+            "id",
+        )
+    )
+    from pyspark.sql import Window
+
+    w_first = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy("id")
+    )
+    left = (
+        offers.where("id % 2 = 0").withColumn("_rn", w_first)
+        .where("_rn = 1").drop("_rn")
+    )
+    right = (
+        offers.where("id % 2 = 1").withColumn("_rn", w_first)
+        .where("_rn = 1").drop("_rn")
+    )
+    return left, right
+
+
+def test_link_records_end_to_end_quality(spark, fixtures_dir):
+    from productbert_intermediate_spark.operators.linkage import link_records
+
+    left, right = _clean_sides(spark, fixtures_dir)
+    truth_l = {r["id"]: r["cluster_id"] for r in left.select("id", "cluster_id").collect()}
+    truth_r = {r["id"]: r["cluster_id"] for r in right.select("id", "cluster_id").collect()}
+    got = link_records(
+        left.drop("cluster_id"), right.drop("cluster_id"),
+        blocking={"max_rare_df": 20},
+    ).collect()
+    # valid one-to-one matching
+    assert len({r.id_l for r in got}) == len(got)
+    assert len({r.id_r for r in got}) == len(got)
+    # graded against truth: precision high (matched pairs same cluster),
+    # and most linkable clusters found
+    correct = sum(1 for r in got if truth_l[r.id_l] == truth_r[r.id_r])
+    linkable = len(set(truth_l.values()) & set(truth_r.values()))
+    assert len(got) > 0 and linkable > 20
+    precision = correct / len(got)
+    recall = correct / linkable
+    assert precision >= 0.95, (precision, len(got))
+    assert recall >= 0.80, (recall, linkable)
+
+
+def test_link_records_id_collision_and_decision_layers(spark, fixtures_dir):
+    from productbert_intermediate_spark.operators.linkage import link_records
+
+    left, right = _clean_sides(spark, fixtures_dir)
+    left, right = left.drop("cluster_id"), right.drop("cluster_id")
+    # force the two catalogs onto OVERLAPPING autoincrement keys: BOTH
+    # sides renumber to 1..n, so ids 1..min(nl,nr) exist on both sides
+    from pyspark.sql import Window
+    rn = F.row_number().over(Window.orderBy("id")).cast("long")
+    left_c = left.withColumn("id", rn)
+    right_c = right.withColumn("id", rn)
+    overlap = left_c.select("id").intersect(right_c.select("id")).count()
+    assert overlap > 0  # the collision is real
+    base = {
+        (r.id_l, r.id_r)
+        for r in link_records(left, right, blocking={"max_rare_df": 20}).collect()
+    }
+    # the renumber is order-preserving, so results must be the SAME pairs
+    # modulo the id mapping — collisions change nothing
+    def _rank_of(df):
+        return {
+            r.id: i + 1
+            for i, r in enumerate(sorted(df.select("id").collect(), key=lambda r: r.id))
+        }
+    rank_l, rank_r = _rank_of(left), _rank_of(right)
+    collided = {
+        (r.id_l, r.id_r)
+        for r in link_records(left_c, right_c, blocking={"max_rare_df": 20}).collect()
+    }
+    assert collided == {(rank_l[l], rank_r[r]) for l, r in base}
+    # decision-layer ladder on the same input: mutual ⊆ greedy ⊆ all-matched
+    all_m = {
+        (r.id_l, r.id_r)
+        for r in link_records(
+            left, right, one_to_one=None, blocking={"max_rare_df": 20}
+        ).collect()
+    }
+    mutual = {
+        (r.id_l, r.id_r)
+        for r in link_records(
+            left, right, one_to_one="mutual", blocking={"max_rare_df": 20}
+        ).collect()
+    }
+    assert mutual <= base <= all_m
