@@ -121,6 +121,49 @@ def link_candidate_pairs(
     return kl.join(kr, "key").select("id_l", "id_r").distinct()
 
 
+def remap_link_pairs(cands: DataFrame) -> DataFrame:
+    """(id_l, id_r) in the two catalogs' own id spaces → the disjoint
+    internal space (left ids ↦ id*2, right ids ↦ id*2+1). Order-preserving
+    within each side, so any (score, id_l, id_r) total order downstream is
+    the same order the original ids would give."""
+    return cands.select(
+        (F.col("id_l") * 2).alias("id_l"),
+        (F.col("id_r") * 2 + 1).alias("id_r"),
+    )
+
+
+def unmap_link_ids(df: DataFrame) -> DataFrame:
+    """Inverse of remap_link_pairs on a result table: both remapped id
+    columns back to the catalogs' own ids (id*2 and id*2+1 both floor-div
+    back to id)."""
+    return df.withColumn("id_l", F.expr("id_l div 2")).withColumn(
+        "id_r", F.expr("id_r div 2")
+    )
+
+
+def tagged_union_for_scoring(left: DataFrame, right: DataFrame) -> DataFrame:
+    """The scorer's offers side: both catalogs projected to exactly the
+    columns scoring reads, remapped into the disjoint id space, unioned,
+    and cut out of the downstream stage with an eager localCheckpoint.
+
+    The checkpoint is a measured necessity, not tidiness: fused into the
+    scoring stage, the two union branches' duplicated expression trees
+    push the generated whole-stage-codegen method past the JVM's hard
+    64KB limit and the ENTIRE feature stage silently drops to interpreted
+    execution (dedup's single-branch offers side compiles fine, the union
+    does not). The materialized table is the same order of bytes as the
+    text index the scorer broadcasts anyway."""
+    from .scoring import PAIR_ATTRS as S_PAIR_ATTRS
+
+    keep = ["id"] + [a for a in S_PAIR_ATTRS if a in left.columns]
+    return (
+        left.withColumn("id", F.col("id") * 2)
+        .select(*keep)
+        .unionByName(right.withColumn("id", F.col("id") * 2 + 1).select(*keep))
+        .localCheckpoint(eager=True)
+    )
+
+
 def link_records(
     left: DataFrame,
     right: DataFrame,
@@ -176,7 +219,6 @@ def link_records(
     streamed text path without an extra count job.
     """
     from .assignment import greedy_one_to_one, reciprocal_best_match
-    from .scoring import PAIR_ATTRS as S_PAIR_ATTRS
     from .scoring import score_candidates
 
     if one_to_one not in (None, "greedy", "mutual"):
@@ -187,31 +229,8 @@ def link_records(
     # Cut lineage between blocking and scoring (the analog of
     # run_pipeline's candidate_pairs stage checkpoint — two longs/row).
     cands = cands.localCheckpoint(eager=True)
-    pairs_u = cands.select(
-        (F.col("id_l") * 2).alias("id_l"),
-        (F.col("id_r") * 2 + 1).alias("id_r"),
-    )
-    # The scorer's offers side is the two catalogs UNION-tagged into the
-    # disjoint id space. Fused into the scoring stage, the two union
-    # branches' duplicated expression trees push the generated
-    # whole-stage-codegen method past the JVM's hard 64KB limit and the
-    # ENTIRE feature stage silently drops to interpreted execution
-    # (measured at bench scale — dedup's single-branch offers side
-    # compiles fine, the union does not). So: project down to exactly the
-    # columns the scorer reads and cut the union out of the stage with a
-    # localCheckpoint — the materialized table is the same order as the
-    # text index the scorer broadcasts anyway. A production run whose
-    # catalogs arrive pre-checkpointed (stage catalog, as run_pipeline
-    # does) pays nothing extra.
-    keep = ["id"] + [a for a in S_PAIR_ATTRS if a in left.columns]
-    union = (
-        left.withColumn("id", F.col("id") * 2)
-        .select(*keep)
-        .unionByName(
-            right.withColumn("id", F.col("id") * 2 + 1).select(*keep)
-        )
-        .localCheckpoint(eager=True)
-    )
+    pairs_u = remap_link_pairs(cands)
+    union = tagged_union_for_scoring(left, right)
     n_union = (
         n_left + n_right if n_left is not None and n_right is not None else None
     )
@@ -233,6 +252,4 @@ def link_records(
         resolved = reciprocal_best_match(scored, score_col)
     else:
         resolved = scored
-    return resolved.withColumn(
-        "id_l", F.expr("id_l div 2")
-    ).withColumn("id_r", F.expr("id_r div 2"))
+    return unmap_link_ids(resolved)

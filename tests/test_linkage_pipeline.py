@@ -1,0 +1,96 @@
+"""run_linkage (plans/linkage_pipeline.py): stage creation, resume,
+scorer/assignment switches, and the stored-id contract.
+
+Linkage QUALITY (precision/recall vs cluster truth) is pinned in
+tests/test_linkage.py on deduplicated sides; these tests pin the pipeline
+machinery around the same operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from productbert_intermediate_spark.plans.linkage_pipeline import run_linkage
+
+
+@pytest.fixture(scope="module")
+def catalogs(spark, fixtures_dir, tmp_path_factory):
+    """Two page corpora from the fixture: a deterministic url-hash split
+    (pages are 1:1 with offers, so this is a random-ish disjoint split
+    with cross-catalog duplicates from the generator's clusters)."""
+    d = tmp_path_factory.mktemp("link_catalogs")
+    pages = spark.read.parquet(f"{fixtures_dir}/pages.parquet")
+    side = F.pmod(F.xxhash64("url"), F.lit(2))
+    lp, rp = str(d / "left_pages.parquet"), str(d / "right_pages.parquet")
+    pages.where(side == 0).write.parquet(lp)
+    pages.where(side == 1).write.parquet(rp)
+    return lp, rp
+
+
+def test_run_linkage_end_to_end_and_resume(spark, catalogs, tmp_path):
+    lp, rp = catalogs
+    wd = str(tmp_path / "wd")
+    rep = run_linkage(spark, lp, rp, wd)
+    c = rep["counts"]
+    assert c["offers_left"] > 0 and c["offers_right"] > 0
+    assert c["link_candidates"] > 0
+    assert 0 < c["link_matches"] <= c["link_scored"] <= c["link_candidates"]
+    # matches form a valid one-to-one matching of above-threshold pairs
+    rows = rep["matches"].collect()
+    assert len(rows) == c["link_matches"]
+    assert len({r.id_l for r in rows}) == len(rows)
+    assert len({r.id_r for r in rows}) == len(rows)
+    assert all(r.match for r in rows)
+    # every stage resumes on re-run, output identical
+    rep2 = run_linkage(spark, lp, rp, wd)
+    assert all(s["resumed"] for s in rep2["stages"].values())
+    assert sorted((r.id_l, r.id_r) for r in rep2["matches"].collect()) == sorted(
+        (r.id_l, r.id_r) for r in rows
+    )
+    # blocking drop counters surfaced from the stage manifest
+    assert set(rep["blocking"]) == {"link_dropped_keys", "link_dropped_pairs"}
+
+
+def test_run_linkage_fs_scorer_and_mutual(spark, catalogs, tmp_path):
+    lp, rp = catalogs
+    wd = str(tmp_path / "wd_fs")
+    rep = run_linkage(spark, lp, rp, wd, scorer="fs", one_to_one="mutual")
+    assert "fs_lam" in rep["stages"]["link_scored"]
+    assert rep["stages"]["link_pair_features"]["resumed"] is False
+    rows = rep["matches"].collect()
+    assert len(rows) > 0
+    assert len({r.id_l for r in rows}) == len(rows)
+    assert len({r.id_r for r in rows}) == len(rows)
+    # decision-rule consistency: match ≡ posterior > 0.5 on every kept row
+    assert all(r.score > 0.5 and r.match for r in rows)
+    # switching the scorer invalidates link_scored but resumes the shared
+    # upstream stages
+    rep2 = run_linkage(spark, lp, rp, wd, scorer="logistic")
+    assert rep2["stages"]["offers_left"]["resumed"]
+    assert rep2["stages"]["link_candidates"]["resumed"]
+    assert not rep2["stages"]["link_scored"]["resumed"]
+
+
+def test_run_linkage_agrees_with_link_records(spark, catalogs, tmp_path):
+    """The pipeline's matched pair set equals the one-shot link_records
+    flow on the same extracted catalogs (same operators, checkpointed)."""
+    from productbert_intermediate_spark.operators.extract import extract_offers
+    from productbert_intermediate_spark.operators.linkage import link_records
+
+    lp, rp = catalogs
+    rep = run_linkage(spark, lp, rp, str(tmp_path / "wd_eq"))
+    left = extract_offers(spark.read.parquet(lp)).where("id is not null")
+    right = extract_offers(spark.read.parquet(rp)).where("id is not null")
+    direct = link_records(left, right)
+    assert sorted((r.id_l, r.id_r) for r in rep["matches"].collect()) == sorted(
+        (r.id_l, r.id_r) for r in direct.collect()
+    )
+
+
+def test_run_linkage_rejects_bad_switches(spark, catalogs, tmp_path):
+    lp, rp = catalogs
+    with pytest.raises(ValueError, match="scorer"):
+        run_linkage(spark, lp, rp, str(tmp_path / "x"), scorer="encoder")
+    with pytest.raises(ValueError, match="one_to_one"):
+        run_linkage(spark, lp, rp, str(tmp_path / "y"), one_to_one="hungarian")

@@ -98,3 +98,67 @@ def test_pyfiles_zip_is_deterministic(tmp_path):
         names = zf.namelist()
     assert "productbert_intermediate_spark/__init__.py" in names
     assert not any(n.endswith(".pyc") or "__pycache__" in n for n in names)
+
+
+def test_linkage_via_spark_submit_pyfiles(tmp_path, e2e_dir):
+    """Same packaging gate for the linkage driver (scripts/submit_linkage.py):
+    two catalogs from a deterministic url-hash split of the e2e corpus,
+    package via --py-files only, report gated on non-empty stage counts."""
+    submit = _spark_submit_bin()
+    if submit is None:  # pragma: no cover
+        pytest.skip("pyspark install has no bin/spark-submit")
+
+    import hashlib
+
+    import pandas as pd
+
+    pdf = pd.read_parquet(f"{e2e_dir}/pages.parquet")
+    # re-written parquet must keep microsecond timestamps for Spark's reader
+    pdf["warc_ts"] = pdf["warc_ts"].astype("datetime64[us]")
+    side = pdf["url"].map(
+        lambda u: int(hashlib.md5(u.encode()).hexdigest(), 16) % 2
+    )
+    lp, rp = tmp_path / "left_pages.parquet", tmp_path / "right_pages.parquet"
+    pdf[side == 0].to_parquet(lp, index=False, row_group_size=512)
+    pdf[side == 1].to_parquet(rp, index=False, row_group_size=512)
+
+    dist = tmp_path / "dist"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_pyfiles_zip.py"),
+         str(dist)],
+        check=True, cwd=REPO, capture_output=True,
+    )
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+
+    report_path = tmp_path / "link_report.json"
+    cmd = [
+        submit,
+        "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=8",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--py-files", str(dist / "productbert_intermediate_spark.zip"),
+        os.path.join(REPO, "scripts", "submit_linkage.py"),
+        "--left-pages", str(lp),
+        "--right-pages", str(rp),
+        "--workdir", str(tmp_path / "link_work"),
+        "--report", str(report_path),
+    ]
+    proc = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env,
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, (proc.stdout[-2000:], proc.stderr[-4000:])
+
+    report = json.loads(report_path.read_text())
+    c = report["counts"]
+    assert c["offers_left"] > 0 and c["offers_right"] > 0
+    assert 0 < c["link_matches"] <= c["link_scored"] <= c["link_candidates"]
+    # the matched table landed as a readable stage under --workdir
+    matches = pd.read_parquet(
+        str(tmp_path / "link_work" / "link_matches")
+    )
+    assert len(matches) == c["link_matches"]
+    assert matches["id_l"].is_unique and matches["id_r"].is_unique
