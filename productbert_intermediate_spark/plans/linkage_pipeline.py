@@ -62,6 +62,7 @@ def run_linkage(
     one_to_one: str = "greedy",
     blocking_params: dict | None = None,
     match_only: bool = True,
+    labeled_path: str | None = None,
     force: bool = False,
 ) -> dict:
     """Execute (or resume) the linkage pipeline; returns a run report.
@@ -78,6 +79,18 @@ def run_linkage(
     catalogs' OWN ids — the disjoint remap is an internal detail of the
     scoring stage, so a left id and a right id may collide numerically
     in those tables; (id_l, id_r) columns are the namespaces.
+
+    ``labeled_path``: parquet of gold CROSS-catalog pairs
+    (id_left, id_right, label) — id_left in the left catalog's id space,
+    id_right in the right's; no orientation normalization (the sides are
+    distinct namespaces, unlike dedup's symmetric pairs). Adds
+    ``report["pairwise_eval"]`` — P/R/F1 of the DECISION LAYER's output
+    (a true pair the assignment rejected because its endpoint matched
+    better elsewhere counts as a miss: one-to-one is part of the
+    decision being graded) — and a checkpointed ``link_threshold_curve``
+    stage (metrics_ops.pr_threshold_sweep over the scorer's raw scores
+    on labeled pairs the blocker surfaced) with the F1-max cutoff in
+    ``report["threshold_eval"]``, mirroring run_pipeline's labeled runs.
     """
     if scorer not in ("logistic", "fs"):
         raise ValueError(f"unknown scorer {scorer!r} (logistic|fs)")
@@ -211,5 +224,53 @@ def run_linkage(
         for k in ("link_dropped_keys", "link_dropped_pairs")
         if k in cand_entry
     }
+    if labeled_path:
+        from ..operators.metrics_ops import (
+            confusion_counts,
+            pr_threshold_sweep,
+            prec_rec_f1,
+        )
+
+        labeled = spark.read.parquet(labeled_path).select(
+            "id_left", "id_right", "label"
+        )
+        pred = labeled.join(
+            matches.select(
+                F.col("id_l").alias("id_left"),
+                F.col("id_r").alias("id_right"),
+                F.lit(True).alias("_m"),
+            ),
+            ["id_left", "id_right"],
+            "left",
+        ).withColumn("match", F.coalesce(F.col("_m"), F.lit(False)))
+        counts = confusion_counts(pred)
+        metrics: dict = dict(counts)
+        metrics.update(prec_rec_f1(counts))
+        report["pairwise_eval"] = metrics
+
+        # PR curve over the scorer's raw scores on labeled pairs the
+        # blocker surfaced (pairs blocking missed are the blocker's
+        # recall loss, not the cutoff's — run_pipeline's rationale)
+        lab_scored = scored.select("id_l", "id_r", "score").join(
+            labeled.select(
+                F.col("id_left").alias("id_l"),
+                F.col("id_right").alias("id_r"),
+                "label",
+            ),
+            ["id_l", "id_r"],
+        )
+        curve = pr_threshold_sweep(lab_scored)
+        cat.write("link_threshold_curve", curve, params_key=k_match)
+        best = (
+            cat.read("link_threshold_curve")
+            .orderBy(F.desc_nulls_last("f1"), F.asc("threshold"))
+            .limit(1)
+            .collect()
+        )
+        report["threshold_eval"] = {
+            "n_labeled_scored": lab_scored.count(),
+            "best": best[0].asDict() if best else {},
+        }
+
     report["matches"] = matches
     return report

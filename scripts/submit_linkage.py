@@ -40,6 +40,11 @@ def main() -> None:
         "column) instead of only above-threshold pairs — review-queue "
         "shape (match_only=False)",
     )
+    p.add_argument(
+        "--labeled",
+        help="parquet of gold cross-catalog pairs (id_left, id_right, "
+        "label) for P/R/F1 + threshold-curve reporting",
+    )
     p.add_argument("--force", action="store_true")
     p.add_argument("--report", help="write the run report JSON here")
     args = p.parse_args()
@@ -58,6 +63,7 @@ def main() -> None:
         scorer=args.scorer,
         one_to_one=args.one_to_one,
         match_only=not args.all_candidates,
+        labeled_path=args.labeled,
         force=args.force,
     )
     report.pop("matches", None)  # DataFrame handle, not JSON

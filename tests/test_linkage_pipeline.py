@@ -94,3 +94,52 @@ def test_run_linkage_rejects_bad_switches(spark, catalogs, tmp_path):
         run_linkage(spark, lp, rp, str(tmp_path / "x"), scorer="encoder")
     with pytest.raises(ValueError, match="one_to_one"):
         run_linkage(spark, lp, rp, str(tmp_path / "y"), one_to_one="hungarian")
+
+
+def test_run_linkage_labeled_evaluation(spark, catalogs, tmp_path, fixtures_dir):
+    """Labels synthesized from cluster truth (cross-catalog same-cluster
+    pairs = 1, plus deterministic negatives) -> pipeline reports decision-
+    layer P/R/F1 and a checkpointed threshold curve with an F1-max cutoff."""
+    from productbert_intermediate_spark.operators.extract import extract_offers
+
+    lp, rp = catalogs
+    truth = spark.read.parquet(f"{fixtures_dir}/offers_truth.parquet").select(
+        "id", "cluster_id"
+    )
+
+    def _ids(path):
+        return (
+            extract_offers(spark.read.parquet(path))
+            .where("id is not null")
+            .join(truth, "id")
+            .select("id", "cluster_id")
+        )
+
+    li, ri = _ids(lp), _ids(rp)
+    pos = (
+        li.withColumnRenamed("id", "id_left")
+        .join(ri.withColumnRenamed("id", "id_right"), "cluster_id")
+        .select("id_left", "id_right", F.lit(1).alias("label"))
+    )
+    # deterministic negatives: shifted-cluster cross pairs (never dups)
+    neg = (
+        li.withColumnRenamed("id", "id_left")
+        .withColumn("cluster_id", F.col("cluster_id") + 1)
+        .join(ri.withColumnRenamed("id", "id_right"), "cluster_id")
+        .select("id_left", "id_right", F.lit(0).alias("label"))
+    )
+    labels_path = str(tmp_path / "labels.parquet")
+    pos.unionByName(neg).write.parquet(labels_path)
+
+    wd = str(tmp_path / "wd_lab")
+    rep = run_linkage(spark, lp, rp, wd, labeled_path=labels_path)
+    ev = rep["pairwise_eval"]
+    assert ev["tp"] > 0 and ev["f1"] is not None
+    # the matcher separates the synthesized classes decisively
+    assert ev["precision"] >= 0.9, ev
+    te = rep["threshold_eval"]
+    assert te["n_labeled_scored"] > 0
+    assert 0.0 <= te["best"]["threshold"] <= 1.0 and te["best"]["f1"] > 0.5
+    # curve landed as a stage
+    curve = spark.read.parquet(f"{wd}/link_threshold_curve")
+    assert curve.count() > 0
