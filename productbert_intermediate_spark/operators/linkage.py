@@ -42,6 +42,8 @@ def link_candidate_pairs(
     max_block_pairs: int = B.DEFAULT_MAX_BLOCK_SIZE**2,
     group_col: str = "category",
     tracker=None,
+    sn_window: int | None = None,
+    sn_key_chars: int = 12,
 ) -> DataFrame:
     """left, right (id, title, description, <group_col>) → distinct
     candidate (id_l, id_r) with id_l from left and id_r from right.
@@ -55,6 +57,14 @@ def link_candidate_pairs(
     observe the recall trade: ``link_dropped_keys`` /
     ``link_dropped_pairs`` count what the gate forfeited, riding
     ``observe()`` on the sizes aggregate — zero extra jobs.
+
+    ``sn_window=w`` adds the sorted-neighborhood family (block_offers'
+    third blocking pass, linkage flavor): both catalogs sort TOGETHER
+    under the first ``sn_key_chars`` characters of the normalized title
+    and every record pairs with its ``w`` rank-successors — catching
+    near-misses that share no exact key — with within-side neighbor
+    pairs filtered out afterward (the clean-clean invariant). Linear
+    (|l|+|r|)·w pair budget before the cross filter.
     """
 
     def _tagged(df: DataFrame, side: str) -> DataFrame:
@@ -118,14 +128,59 @@ def link_candidate_pairs(
     # explode an array_distinct token set; band keys emit one row per
     # (id, band) with the band index baked into the key), so the join's
     # only duplication is a pair meeting under multiple keys — one distinct
-    return kl.join(kr, "key").select("id_l", "id_r").distinct()
+    pairs = kl.join(kr, "key").select("id_l", "id_r")
+    if sn_window:
+        # Sorted-neighborhood pass over the UNION (block_offers' third
+        # family, linkage flavor): the two catalogs sort together under the
+        # same normalized-title-prefix order — a left record's nearest
+        # cross-side neighbors in that order are exactly the near-misses
+        # equality keys drop — and within-side neighbor pairs are filtered
+        # OUT afterward (the clean-clean invariant: a within-side pair is a
+        # wrong candidate, not a wasted one). Ids ride the disjoint
+        # id*2 + side remap so the two catalogs' key spaces can't collide
+        # in the rank order; the parity carries the side through the
+        # canonical (id_l < id_r) output for the cross filter + re-orient.
+        from ..functions.text import lower_ws_normalize
+
+        sn_key = F.substring(
+            lower_ws_normalize(F.coalesce(F.col("title"), F.lit(""))),
+            1,
+            sn_key_chars,
+        )
+        keyed = left.select(
+            (F.col("id") * 2).alias("id"), sn_key.alias("key")
+        ).unionByName(
+            right.select((F.col("id") * 2 + 1).alias("id"), sn_key.alias("key"))
+        )
+        sn = B.sorted_neighborhood_pairs(keyed, sn_window)
+        cross = sn.where(
+            F.pmod(F.col("id_l"), F.lit(2)) != F.pmod(F.col("id_r"), F.lit(2))
+        )
+        # canonical order in the remapped space may put the RIGHT record
+        # first; re-orient by parity, then undo the remap
+        lid = F.when(
+            F.pmod(F.col("id_l"), F.lit(2)) == 0, F.col("id_l")
+        ).otherwise(F.col("id_r"))
+        rid = F.when(
+            F.pmod(F.col("id_l"), F.lit(2)) == 1, F.col("id_l")
+        ).otherwise(F.col("id_r"))
+        pairs = pairs.unionByName(
+            cross.select(
+                # integer shift, not float division: exact at any id size
+                F.shiftright(lid, 1).alias("id_l"),
+                F.shiftright(rid, 1).alias("id_r"),
+            )
+        )
+    return pairs.distinct()
 
 
 def remap_link_pairs(cands: DataFrame) -> DataFrame:
     """(id_l, id_r) in the two catalogs' own id spaces → the disjoint
     internal space (left ids ↦ id*2, right ids ↦ id*2+1). Order-preserving
     within each side, so any (score, id_l, id_r) total order downstream is
-    the same order the original ids would give."""
+    the same order the original ids would give. Assumes ids < 2^62 (the
+    extraction ids are SKU-scale longs, extract.py:112 — a catalog keyed
+    on raw 64-bit hashes would need a dense re-key first, operators/ids)."""
     return cands.select(
         (F.col("id_l") * 2).alias("id_l"),
         (F.col("id_r") * 2 + 1).alias("id_r"),

@@ -229,3 +229,65 @@ def test_link_records_id_collision_and_decision_layers(spark, fixtures_dir):
         ).collect()
     }
     assert mutual <= base <= all_m
+
+
+# --------------------------------------------------------------------------
+# sorted-neighborhood pass for linkage (sn_window)
+
+
+def test_link_sn_window_catches_prefix_neighbors_cross_side_only(spark):
+    # two near-identical titles on opposite sides sharing a 12-char prefix;
+    # the token family is silenced with an impossible min_df, so only the
+    # SN pass can pair them
+    rows = [
+        (2, "x", "professional widget alpha", None),
+        (3, "x", "professional widget alpha deluxe", None),
+        # background rows far away in sort order, one per side
+        (4, "x", "aaaa early sort", None),
+        (5, "x", "zzzz late sort", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, category string, title string, description string"
+    )
+    got = link_candidate_pairs(
+        df.where("id % 2 = 0"), df.where("id % 2 = 1"),
+        min_df=10**6, use_lsh=False, sn_window=1,
+    )
+    pairs = {(r["id_l"], r["id_r"]) for r in got.collect()}
+    assert (2, 3) in pairs
+    # cross-side orientation: id_l always from the left catalog
+    assert all(a % 2 == 0 and b % 2 == 1 for a, b in pairs)
+
+
+def test_link_sn_window_matches_bruteforce_rank_windows(spark, fixtures_dir):
+    left, right = _sides(spark, fixtures_dir)
+    w = 3
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in link_candidate_pairs(
+            # min_df above any real df silences the token family entirely
+            # (max_rare_df=0 would NOT: `0 or DEFAULT` takes the default
+            # cap) — SN contribution only
+            left, right, min_df=10**6, use_lsh=False, sn_window=w,
+        ).collect()
+    }
+    # brute force: sort the union by (12-char normalized-title prefix,
+    # remapped id), pair every row with its w successors, keep cross pairs
+    import re
+
+    def keyed(df, mul, add):
+        out = []
+        for r in df.select("id", "title").collect():
+            t = re.sub(r"\s+", " ", (r["title"] or "").lower().strip())
+            out.append((t[:12], r["id"] * mul + add))
+        return out
+
+    rows = sorted(keyed(left, 2, 0) + keyed(right, 2, 1))
+    want = set()
+    for i, (_, uid_a) in enumerate(rows):
+        for j in range(i + 1, min(i + 1 + w, len(rows))):
+            uid_b = rows[j][1]
+            if uid_a % 2 != uid_b % 2:
+                l, r = (uid_a, uid_b) if uid_a % 2 == 0 else (uid_b, uid_a)
+                want.add((l // 2, r // 2))
+    assert got == want and len(got) > 0
