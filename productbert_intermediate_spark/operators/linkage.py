@@ -44,6 +44,7 @@ def link_candidate_pairs(
     tracker=None,
     sn_window: int | None = None,
     sn_key_chars: int = 12,
+    meta_prune: str | None = None,
 ) -> DataFrame:
     """left, right (id, title, description, <group_col>) → distinct
     candidate (id_l, id_r) with id_l from left and id_r from right.
@@ -65,6 +66,14 @@ def link_candidate_pairs(
     near-misses that share no exact key — with within-side neighbor
     pairs filtered out afterward (the clean-clean invariant). Linear
     (|l|+|r|)·w pair budget before the cross filter.
+
+    ``meta_prune='wep'|'wnp'`` applies meta-blocking to the key-derived
+    cross pairs (operators/metablocking — Papadakis et al.): the CBS
+    weight of a cross pair is its number of distinct shared kept keys
+    (the key join's multiplicity, which the plain path collapses with
+    ``distinct()``), pruned by the exact integer global-mean (WEP) or
+    per-endpoint-mean (WNP) rule. The SN family, when enabled, unions in
+    AFTER pruning, exactly as block_offers orders the passes.
     """
 
     def _tagged(df: DataFrame, side: str) -> DataFrame:
@@ -129,6 +138,19 @@ def link_candidate_pairs(
     # (id, band) with the band index baked into the key), so the join's
     # only duplication is a pair meeting under multiple keys — one distinct
     pairs = kl.join(kr, "key").select("id_l", "id_r")
+    if meta_prune:
+        if meta_prune not in ("wep", "wnp"):
+            raise ValueError(f"meta_prune={meta_prune!r}: expected wep|wnp")
+        from .metablocking import prune_pairs_wep, prune_pairs_wnp
+
+        # kl/kr rows are distinct per (id, key) (see the join comment), so
+        # the join's per-pair multiplicity IS the CBS weight: the number
+        # of distinct kept keys the pair shares
+        weighted = pairs.groupBy("id_l", "id_r").agg(
+            F.count("*").cast("long").alias("weight")
+        )
+        pruner = prune_pairs_wep if meta_prune == "wep" else prune_pairs_wnp
+        pairs = pruner(weighted).select("id_l", "id_r")
     if sn_window:
         # Sorted-neighborhood pass over the UNION (block_offers' third
         # family, linkage flavor): the two catalogs sort together under the

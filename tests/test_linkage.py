@@ -291,3 +291,86 @@ def test_link_sn_window_matches_bruteforce_rank_windows(spark, fixtures_dir):
                 l, r = (uid_a, uid_b) if uid_a % 2 == 0 else (uid_b, uid_a)
                 want.add((l // 2, r // 2))
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------------------------------------
+# meta-blocking pruning for linkage (meta_prune)
+
+
+def test_link_meta_prune_wep_matches_bruteforce(spark, fixtures_dir):
+    left, right = _sides(spark, fixtures_dir)
+    got = {
+        (r["id_l"], r["id_r"])
+        for r in link_candidate_pairs(
+            left, right, max_rare_df=20, max_block_pairs=100,
+            use_lsh=False, meta_prune="wep",
+        ).collect()
+    }
+    # brute force: CBS weight = # shared kept keys; WEP keeps
+    # weight * n_pairs > sum(weights) (exact integer rule)
+    base = _brute_cross_pairs(left, right, 20, 100)
+    from collections import Counter
+
+    def keyed_sets(df, side):
+        t = B.build_title_for_ts(df).select("id", "category", "tokens").toPandas()
+        return {
+            (r["id"], r["category"], tok)
+            for _, r in t.iterrows()
+            for tok in set(r["tokens"])
+        }
+
+    lrows, rrows = keyed_sets(left, "l"), keyed_sets(right, "r")
+    w = Counter()
+    lmap = defaultdict(set)
+    for i, g, tok in lrows:
+        lmap[(g, tok)].add(i)
+    rmap = defaultdict(set)
+    for i, g, tok in rrows:
+        rmap[(g, tok)].add(i)
+    # recompute kept keys exactly as _brute_cross_pairs gates them
+    df_count = defaultdict(set)
+    n_by_g = defaultdict(set)
+    for i, g, tok in lrows | rrows:
+        df_count[(g, tok)].add(i)
+        n_by_g[g].add(i)
+    for (g, tok), ids in df_count.items():
+        df = len(ids)
+        ls, rs = lmap[(g, tok)], rmap[(g, tok)]
+        if (
+            2 <= df <= min(20, 0.8 * len(n_by_g[g]))
+            and ls and rs and len(ls) * len(rs) <= 100
+        ):
+            for a in ls:
+                for b in rs:
+                    w[(a, b)] += 1
+    assert set(w) == base  # weights cover exactly the plain pair set
+    n, s = len(w), sum(w.values())
+    want = {p for p, wt in w.items() if wt * n > s}
+    assert got == want and 0 < len(got) < len(base)
+
+
+def test_link_meta_prune_wep_vs_wnp_semantics(spark):
+    # A-B share two kept tokens (weight 2), A-C share one (weight 1).
+    # WEP (global mean, strict): 2*2 > 3 keeps A-B; 1*2 < 3 drops A-C.
+    # WNP (either-endpoint mean, OR): A-C survives via endpoint C, whose
+    # only pair it is (the scheme is redundancy-positive by design).
+    rows = [
+        (0, "x", "alpha beta gamma", None),       # left A
+        (1, "x", "alpha beta delta", None),       # right B: shares alpha+beta
+        (3, "x", "gamma epsilon zeta", None),     # right C: shares gamma
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, category string, title string, description string"
+    )
+
+    def run(prune):
+        return {
+            (r["id_l"], r["id_r"])
+            for r in link_candidate_pairs(
+                df.where("id % 2 = 0"), df.where("id % 2 = 1"),
+                max_rare_df=50, use_lsh=False, meta_prune=prune,
+            ).collect()
+        }
+
+    assert run("wep") == {(0, 1)}
+    assert run("wnp") == {(0, 1), (0, 3)}
