@@ -78,7 +78,19 @@ def make_default_frozen_encoder(
     if token_weights is not None:
         table = table * np.asarray(token_weights, dtype=np.float32)[:, None]
 
-    def encoder(
+    # Rows are independent, so the batch is processed in fixed-size chunks:
+    # the [chunk, seq, dim] intermediates stay a few MB and the allocator
+    # reuses them, instead of one [batch, seq, dim] gather per side
+    # (~165 MB each at 10k x 64 x 64). Measured: the large allocations are
+    # first-touch page-faulted on every batch, and with 32 local workers
+    # faulting concurrently the kernel zone locks serialize them — the
+    # bench's entire 30-45s "cold encoder" overhead was this (guide §5:
+    # what tasks hold in memory; 1230s cold vs 49s warm CPU in the forward
+    # alone, scripts/enc_cold_probe.py). Chunking is bit-identical: every
+    # per-row value is computed by the same ops in the same order.
+    _CHUNK = 512
+
+    def _fwd_chunk(
         input_ids: np.ndarray, token_type_ids: np.ndarray, attention_mask: np.ndarray
     ) -> np.ndarray:
         # content tokens only: mask PAD/CLS/SEP, keep vocabulary ids and UNK
@@ -93,6 +105,20 @@ def make_default_frozen_encoder(
         denom = np.where((na > 0) & (nb > 0), na * nb, 1.0)
         cos = np.einsum("ij,ij->i", a, b) / denom
         return (scale * (cos - 0.5)).astype(np.float64)
+
+    def encoder(
+        input_ids: np.ndarray, token_type_ids: np.ndarray, attention_mask: np.ndarray
+    ) -> np.ndarray:
+        n = len(input_ids)
+        if n <= _CHUNK:
+            return _fwd_chunk(input_ids, token_type_ids, attention_mask)
+        out = np.empty(n, dtype=np.float64)
+        for s in range(0, n, _CHUNK):
+            e = min(n, s + _CHUNK)
+            out[s:e] = _fwd_chunk(
+                input_ids[s:e], token_type_ids[s:e], attention_mask[s:e]
+            )
+        return out
 
     return encoder
 
@@ -238,17 +264,30 @@ def score_pretokenized_pairs(
     encoder: EncoderFn | None = None,
     threshold: float = 0.5,
     token_weights: np.ndarray | None = None,
+    output_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """score_pairs_with_encoder over PRE-tokenized id arrays: per pair only
     truncate/assemble/pad (prepare_for_model) + the encoder forward run —
     tokenization cost scales with |offers|, not |pairs|. Output is
-    byte-identical to the text path (asserted in tests/test_bert_scoring)."""
+    byte-identical to the text path (asserted in tests/test_bert_scoring).
+
+    ``output_cols`` narrows the passthrough columns of the OUTPUT (default:
+    all input columns). Spark cannot column-prune through mapInPandas, so
+    without this the big token-id arrays are serialized back JVM-ward in
+    every batch only to be dropped by the caller's select (guide §4.1:
+    control how many columns cross the boundary — both ways).
+    """
     spark = pairs.sparkSession
     bc_vocab = spark.sparkContext.broadcast(vocab)
     bc_weights = spark.sparkContext.broadcast(token_weights)
     vocab_size = len(vocab.tokens)
+    keep = (
+        list(pairs.columns)
+        if output_cols is None
+        else [c for c in pairs.columns if c in output_cols]
+    )
     out_schema = StructType(
-        list(pairs.schema.fields)
+        [pairs.schema[c] for c in keep]
         + [
             StructField("logit", DoubleType()),
             StructField("score", DoubleType()),
@@ -261,29 +300,46 @@ def score_pretokenized_pairs(
         enc = encoder or make_default_frozen_encoder(
             vocab_size, token_weights=bc_weights.value
         )
-        empty: list[int] = []
+        # Inlined prepare_for_model (bit-identical, pinned by test): write
+        # each pair's [CLS] a [SEP] b [SEP] row straight into the batch
+        # arrays instead of building three Python lists + a dict per pair —
+        # the assembly loop is the stage's dominant per-pair Python cost.
+        cls_id, sep_id, pad_id = v.cls_id, v.sep_id, v.pad_id
+        budget = max_length - 3
+        half = (budget + 1) // 2
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
-            ids = np.zeros((n, max_length), dtype=np.int32)
+            if pad_id == 0:
+                ids = np.zeros((n, max_length), dtype=np.int32)
+            else:  # pragma: no cover - WordPieceVocab pins PAD at 0
+                ids = np.full((n, max_length), pad_id, dtype=np.int32)
             tt = np.zeros((n, max_length), dtype=np.int32)
             am = np.zeros((n, max_length), dtype=np.int32)
             for i, (a, b) in enumerate(
                 zip(pdf[left_ids_col], pdf[right_ids_col])
             ):
-                e = prepare_for_model(
-                    empty if a is None else a,
-                    empty if b is None else b,
-                    max_length,
-                    v,
-                )
-                ids[i] = e["input_ids"]
-                tt[i] = e["token_type_ids"]
-                am[i] = e["attention_mask"]
+                la = 0 if a is None else len(a)
+                lb = 0 if b is None else len(b)
+                if la + lb <= budget:
+                    ka, kb = la, lb
+                else:
+                    ka = min(la, max(budget - lb, half))
+                    kb = budget - ka
+                row = ids[i]
+                row[0] = cls_id
+                if ka:
+                    row[1 : ka + 1] = a[:ka]
+                row[ka + 1] = sep_id
+                if kb:
+                    row[ka + 2 : ka + kb + 2] = b[:kb]
+                row[ka + kb + 2] = sep_id
+                tt[i, ka + 2 : ka + kb + 3] = 1
+                am[i, : ka + kb + 3] = 1
             logit = enc(ids, tt, am)
             score = 1.0 / (1.0 + np.exp(-logit))
-            out = pdf.copy()
+            out = pdf[keep].copy() if len(keep) < len(pdf.columns) else pdf.copy()
             out["logit"] = logit
             out["score"] = score
             out["match"] = score > threshold
@@ -469,5 +525,8 @@ def score_candidates_with_encoder(
         hydrated, "_tok_left", "_tok_right", vocab,
         max_length=max_length, encoder=encoder,
         threshold=threshold, token_weights=idf,
+        # only the ids ride back through Arrow — the token arrays would be
+        # serialized JVM-ward and immediately dropped by the select below
+        output_cols=("id_l", "id_r"),
     )
     return scored.select("id_l", "id_r", "logit", "score", "match")

@@ -107,3 +107,69 @@ def test_pretokenized_path_byte_identical_to_text_path(spark, fixtures_dir):
 
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(new) == key(old)
+
+
+def test_chunked_encoder_matches_per_row_forward():
+    """The chunked default encoder (r6: small reused intermediates instead
+    of one giant gather per batch) must be bit-identical to calling the
+    forward one row at a time, across the chunk boundary."""
+    rng = np.random.RandomState(7)
+    n, seq, vs = 1300, 32, 200  # n > _CHUNK=512, spans 3 chunks
+    enc = make_default_frozen_encoder(vs, token_weights=rng.rand(vs))
+    ids = rng.randint(0, vs, size=(n, seq)).astype(np.int32)
+    tt = (rng.rand(n, seq) > 0.5).astype(np.int32)
+    am = (rng.rand(n, seq) > 0.1).astype(np.int32)
+    whole = enc(ids, tt, am)
+    per_row = np.concatenate(
+        [enc(ids[i : i + 1], tt[i : i + 1], am[i : i + 1]) for i in range(n)]
+    )
+    assert np.array_equal(whole, per_row)
+
+
+def test_inlined_pair_assembly_matches_prepare_for_model(spark):
+    """score_pretokenized_pairs' in-place row assembly (r6) must reproduce
+    prepare_for_model exactly, including truncation and None sides, and
+    output_cols must drop passthrough columns without changing values."""
+    import pandas as pd
+
+    from productbert_intermediate_spark.functions.bert_encode import (
+        prepare_for_model,
+    )
+    from productbert_intermediate_spark.operators.bert_scoring import (
+        score_pretokenized_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    max_length = 16
+    rows = []
+    for i in range(40):
+        la = int(rng.randint(0, 25))
+        lb = int(rng.randint(0, 25))
+        a = [int(x) for x in rng.randint(0, 50, size=la)] if la else []
+        b = [int(x) for x in rng.randint(0, 50, size=lb)] if lb else []
+        if i % 10 == 7:
+            a = None
+        if i % 10 == 9:
+            b = None
+        rows.append((i, a, b))
+    df = spark.createDataFrame(
+        rows, "pid long, a array<int>, b array<int>"
+    )
+    got = {
+        r["pid"]: r
+        for r in score_pretokenized_pairs(
+            df, "a", "b", VOCAB, max_length=max_length,
+            output_cols=("pid",),
+        ).collect()
+    }
+    assert set(got[0].asDict()) == {"pid", "logit", "score", "match"}
+
+    # reference: prepare_for_model + the unchunked original forward
+    enc = make_default_frozen_encoder(len(VOCAB.tokens))
+    for pid, a, b in rows:
+        e = prepare_for_model(a or [], b or [], max_length, VOCAB)
+        ids = np.array([e["input_ids"]], dtype=np.int32)
+        tt = np.array([e["token_type_ids"]], dtype=np.int32)
+        am = np.array([e["attention_mask"]], dtype=np.int32)
+        logit = float(enc(ids, tt, am)[0])
+        assert got[pid]["logit"] == logit, pid
