@@ -179,12 +179,19 @@ def abs_norm(a: Column, b: Column) -> Column:
 
 
 def levenshtein_norm(a: Column, b: Column) -> Column:
-    """1 - lev(a,b)/max(len) — JVM-side, null-safe (null → 0.0)."""
+    """1 - lev(a,b)/max(len) — JVM-side, null-safe (null → 0.0).
+
+    Equal strings short-circuit to 1.0 before the O(|a|·|b|) DP runs —
+    identical result (lev = 0 ⇒ 1 − 0/denom = 1.0, and the denom = 0 case
+    is equal-empty), and in a dedup corpus a large share of candidate
+    pairs have byte-identical titles (guide §1.2: cut per-task work)."""
     a_ = F.coalesce(a, F.lit(""))
     b_ = F.coalesce(b, F.lit(""))
     denom = F.greatest(F.length(a_), F.length(b_))
-    return F.when(denom == 0, F.lit(1.0)).otherwise(
-        1.0 - F.levenshtein(a_, b_) / denom.cast("double")
+    return F.when(a_ == b_, F.lit(1.0)).otherwise(
+        F.when(denom == 0, F.lit(1.0)).otherwise(
+            1.0 - F.levenshtein(a_, b_) / denom.cast("double")
+        )
     )
 
 

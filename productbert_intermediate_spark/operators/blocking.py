@@ -231,18 +231,15 @@ def candidate_pairs_from_keys(
     ).distinct()
 
 
-def _bounded_pair_expansion(
+def gate_oversized_keys(
     keys: DataFrame,
     max_block_size: int,
     tracker=None,
     assume_distinct_keys: bool = False,
 ) -> DataFrame:
-    """candidate_pairs_from_keys without the terminal distinct: one
-    (id_l < id_r) row PER KEY the pair co-occurs under. Multiplicity is
-    meaningful — it is exactly the common-blocks-scheme weight
-    metablocking.pair_key_weights aggregates — so this stays private to
-    callers that know whether they want it (candidate_pairs_from_keys
-    collapses it; pair weighting counts it)."""
+    """Semi-join away keys with more than ``max_block_size`` ids (and the
+    pairless n=1 keys). The counting pass is partial-aggregable; see
+    candidate_pairs_from_keys for why counting precedes any collect."""
     counter = F.count("*") if assume_distinct_keys else F.count_distinct("id")
     sizes = keys.groupBy("key").agg(counter.alias("_n"))
     if tracker is not None:
@@ -255,13 +252,21 @@ def _bounded_pair_expansion(
                 over, F.col("_n") * (F.col("_n") - 1) / 2
             ).otherwise(F.lit(0.0)),
         )
-    bounded_keys = keys.join(
+    return keys.join(
         sizes.where(
             (F.col("_n") >= 2) & (F.col("_n") <= max_block_size)
         ).select("key"),
         "key",
         "left_semi",
     )
+
+
+def expand_bounded_keys(bounded_keys: DataFrame) -> DataFrame:
+    """(id, key) with per-key id counts ALREADY bounded → one (id_l < id_r)
+    row per co-occurrence key. Callers must guarantee the bound (via
+    gate_oversized_keys, or a key family whose size is capped by
+    construction — rare-token keys' df ≤ max_rare_df); an unbounded key
+    here would materialize its whole id list in one aggregation buffer."""
     bounded = bounded_keys.groupBy("key").agg(
         F.array_sort(F.collect_set("id")).alias("ids")
     )
@@ -286,6 +291,23 @@ def _bounded_pair_expansion(
         ).alias("p")
     )
     return pairs.select("p.id_l", "p.id_r")
+
+
+def _bounded_pair_expansion(
+    keys: DataFrame,
+    max_block_size: int,
+    tracker=None,
+    assume_distinct_keys: bool = False,
+) -> DataFrame:
+    """candidate_pairs_from_keys without the terminal distinct: one
+    (id_l < id_r) row PER KEY the pair co-occurs under. Multiplicity is
+    meaningful — it is exactly the common-blocks-scheme weight
+    metablocking.pair_key_weights aggregates — so this stays private to
+    callers that know whether they want it (candidate_pairs_from_keys
+    collapses it; pair weighting counts it)."""
+    return expand_bounded_keys(
+        gate_oversized_keys(keys, max_block_size, tracker, assume_distinct_keys)
+    )
 
 
 def pair_budget_curve(
@@ -448,9 +470,9 @@ def block_offers(
         # (the pipeline is cheap there); at corpus scale one local-disk
         # write beats re-running a corpus-wide shuffle pipeline per branch.
         pruned = pruned.localCheckpoint(eager=True)
-    keys = rare_token_keys(pruned, max_rare_df or max_block_size)
-    if use_lsh:
-        keys = keys.unionByName(minhash_band_keys(pruned, num_hashes, bands))
+    rare = rare_token_keys(pruned, max_rare_df or max_block_size)
+    lsh = minhash_band_keys(pruned, num_hashes, bands) if use_lsh else None
+    keys = rare.unionByName(lsh) if lsh is not None else rare
     if meta_prune:
         from .metablocking import (
             pair_key_weights,
@@ -463,6 +485,26 @@ def block_offers(
         )
         pruner = prune_pairs_wep if meta_prune == "wep" else prune_pairs_wnp
         pairs = pruner(weighted).select("id_l", "id_r")
+    elif (max_rare_df or max_block_size) <= max_block_size and tracker is None:
+        # Rare-token keys are size-bounded BY CONSTRUCTION (a key's id count
+        # is its token df, filtered to ≤ max_rare_df ≤ max_block_size), so
+        # the count+semi-join gate proves nothing for them: only the LSH
+        # band family (unbounded — thousands of near-identical token sets
+        # can share a band) goes through the gate. A df=1 key expands to
+        # zero pairs either way, so skipping the n≥2 half of the gate is
+        # also result-neutral. Guide §2.4: remove shuffles the data's own
+        # invariants make redundant. Tracker runs keep the single gated
+        # pass — its drop counters ride the one sizes aggregate (rare keys
+        # never trip them under this bound, so totals are identical).
+        gated = (
+            gate_oversized_keys(
+                lsh, max_block_size, assume_distinct_keys=True
+            )
+            if lsh is not None
+            else None
+        )
+        all_keys = rare.unionByName(gated) if gated is not None else rare
+        pairs = expand_bounded_keys(all_keys).distinct()
     else:
         pairs = candidate_pairs_from_keys(
             keys, max_block_size, tracker=tracker, assume_distinct_keys=True

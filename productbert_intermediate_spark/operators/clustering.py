@@ -105,11 +105,13 @@ def connected_components(
     sc = edges.sparkSession.sparkContext
     prev_fp = None
     for _ in range(max_iterations):
-        cur = _canonical(
-            _large_star(cur).select(
-                F.col("u").alias("src"), F.col("v").alias("dst")
-            )
-        )
+        # _large_star output is ALREADY canonical: every emitted edge is
+        # (v_orig, m) with m = min(Γ(u) ∪ u) ≤ u < v_orig, self-loops
+        # impossible and .distinct() applied inside — so the old
+        # _canonical() wrapper here only re-derived greatest/least and
+        # re-shuffled a second distinct per round. Removing it drops one
+        # exchange per CC round (guide §2.4) with an identical edge set.
+        cur = _large_star(cur)
         cur = _small_star(cur)
         # small_star output is already (u > v) oriented.
         # Size-based coalesce BEFORE the checkpoint: the previous round's

@@ -91,53 +91,108 @@ def link_candidate_pairs(
         # two key families consume `pruned` with different projections
         # (same rationale as block_offers): cut lineage once, read twice
         pruned = pruned.localCheckpoint(eager=True)
-    keys = B.rare_token_keys(
-        pruned, max_rare_df or B.DEFAULT_MAX_BLOCK_SIZE, group_col
+    rare_bound = max_rare_df or B.DEFAULT_MAX_BLOCK_SIZE
+    rare = B.rare_token_keys(pruned, rare_bound, group_col)
+    lsh = (
+        B.minhash_band_keys(pruned, num_hashes, bands, group_col)
+        if use_lsh
+        else None
     )
-    if use_lsh:
-        keys = keys.unionByName(
-            B.minhash_band_keys(pruned, num_hashes, bands, group_col)
+
+    def _flat(keys: DataFrame) -> DataFrame:
+        return keys.select(
+            F.col("id.side").alias("_side"),
+            F.col("id.oid").alias("_oid"),
+            "key",
         )
 
-    k = keys.select(
-        F.col("id.side").alias("_side"), F.col("id.oid").alias("_oid"), "key"
-    )
-    # count_distinct ignores the NULLs the when() emits for the other side
-    n_l = F.count_distinct(
-        F.when(F.col("_side") == "l", F.col("_oid"))
-    ).alias("_nl")
-    n_r = F.count_distinct(
-        F.when(F.col("_side") == "r", F.col("_oid"))
-    ).alias("_nr")
-    sizes = k.groupBy("key").agg(n_l, n_r)
-    if tracker is not None:
-        crossable = (F.col("_nl") >= 1) & (F.col("_nr") >= 1)
-        over = crossable & (
-            F.col("_nl") * F.col("_nr") > F.lit(max_block_pairs)
-        )
-        sizes = tracker.attach(
-            sizes,
-            link_dropped_keys=over.cast("long"),
-            link_dropped_pairs=F.when(
-                over, F.col("_nl") * F.col("_nr")
-            ).otherwise(F.lit(0)),
-        )
-    ok = sizes.where(
-        (F.col("_nl") >= 1)
-        & (F.col("_nr") >= 1)
-        & (F.col("_nl") * F.col("_nr") <= max_block_pairs)
-    ).select("key")
-    kl = k.where(F.col("_side") == "l").join(ok, "key", "left_semi").select(
-        "key", F.col("_oid").alias("id_l")
-    )
-    kr = k.where(F.col("_side") == "r").join(ok, "key", "left_semi").select(
-        "key", F.col("_oid").alias("id_r")
-    )
     # (id, key) rows are distinct per family by construction (rare keys
     # explode an array_distinct token set; band keys emit one row per
-    # (id, band) with the band index baked into the key), so the join's
-    # only duplication is a pair meeting under multiple keys — one distinct
-    pairs = kl.join(kr, "key").select("id_l", "id_r")
+    # (id, band) with the band index baked into the key) — the same
+    # invariant block_offers passes as assume_distinct_keys=True — so
+    # per-key sizes are plain conditional counts, not count_distinct
+    # (which plans an extra Expand + two-level distinct aggregation).
+    n_l = F.count(F.when(F.col("_side") == "l", 1)).alias("_nl")
+    n_r = F.count(F.when(F.col("_side") == "r", 1)).alias("_nr")
+
+    def _gate(k: DataFrame, track: bool) -> DataFrame:
+        sizes = k.groupBy("key").agg(n_l, n_r)
+        if track and tracker is not None:
+            crossable = (F.col("_nl") >= 1) & (F.col("_nr") >= 1)
+            over = crossable & (
+                F.col("_nl") * F.col("_nr") > F.lit(max_block_pairs)
+            )
+            sizes = tracker.attach(
+                sizes,
+                link_dropped_keys=over.cast("long"),
+                link_dropped_pairs=F.when(
+                    over, F.col("_nl") * F.col("_nr")
+                ).otherwise(F.lit(0)),
+            )
+        ok = sizes.where(
+            (F.col("_nl") >= 1)
+            & (F.col("_nr") >= 1)
+            & (F.col("_nl") * F.col("_nr") <= max_block_pairs)
+        ).select("key")
+        return k.join(ok, "key", "left_semi")
+
+    def _cross_expand(k: DataFrame) -> DataFrame:
+        """Per key: sorted per-side id arrays → JVM cross product — the
+        dedup path's join-free expansion, linkage flavor. Buffer-safe: a
+        gated key holds ≤ 2·max_block_pairs ids (n_l·n_r ≤ cap with both
+        ≥ 1 bounds each side at cap); a bypassed rare key holds ≤ its
+        token df ≤ rare_bound. An empty side yields no pairs, exactly as
+        the old kl⋈kr equi-join emitted nothing for one-sided keys."""
+        grouped = k.groupBy("key").agg(
+            F.array_sort(
+                F.collect_set(F.when(F.col("_side") == "l", F.col("_oid")))
+            ).alias("_ids_l"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("_side") == "r", F.col("_oid")))
+            ).alias("_ids_r"),
+        )
+        return grouped.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "_ids_l",
+                        lambda x: F.transform(
+                            "_ids_r",
+                            lambda y: F.struct(
+                                x.alias("id_l"), y.alias("id_r")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        ).select("p.id_l", "p.id_r")
+
+    # A rare-token key's worst-case cross product is split(df) =
+    # ⌊df/2⌋·⌈df/2⌉ with df ≤ rare_bound: when that fits max_block_pairs
+    # the gate can never drop a rare key, so only the (unbounded) LSH band
+    # family pays the count+semi-join pass — the same by-construction
+    # bypass block_offers applies (guide §2.4). meta_prune needs the
+    # per-key join multiplicity as its CBS weight, so it keeps the single
+    # gated join path unchanged.
+    rare_prebounded = (
+        (rare_bound // 2) * ((rare_bound + 1) // 2) <= max_block_pairs
+    )
+    if meta_prune is None and rare_prebounded and tracker is None:
+        bounded = _flat(rare)
+        if lsh is not None:
+            bounded = bounded.unionByName(_gate(_flat(lsh), track=False))
+        pairs = _cross_expand(bounded)
+    else:
+        k = _flat(rare.unionByName(lsh) if lsh is not None else rare)
+        gated = _gate(k, track=True)
+        kl = gated.where(F.col("_side") == "l").select(
+            "key", F.col("_oid").alias("id_l")
+        )
+        kr = gated.where(F.col("_side") == "r").select(
+            "key", F.col("_oid").alias("id_r")
+        )
+        # per-key multiplicity = number of shared kept keys (CBS weight)
+        pairs = kl.join(kr, "key").select("id_l", "id_r")
     if meta_prune:
         if meta_prune not in ("wep", "wnp"):
             raise ValueError(f"meta_prune={meta_prune!r}: expected wep|wnp")

@@ -69,10 +69,17 @@ def test_greedy_equals_sequential_reference(spark):
     for trial in range(5):
         rows = _random_pairs(rng, 40, 40, 120)
         df = spark.createDataFrame(rows, SCHEMA)
-        got = sorted(
-            tuple(r) for r in greedy_one_to_one(df).collect()
-        )
-        assert got == _sequential_greedy(rows), f"trial {trial}"
+        # budget=0 forces the pure distributed fixpoint; the default
+        # takes the r6 collect-residual finish — both must equal the
+        # literal sequential walk
+        for budget in (0, 100_000):
+            got = sorted(
+                tuple(r)
+                for r in greedy_one_to_one(
+                    df, residual_rows_budget=budget
+                ).collect()
+            )
+            assert got == _sequential_greedy(rows), f"trial {trial} b={budget}"
 
 
 def test_greedy_partition_invariant(spark):
@@ -80,9 +87,15 @@ def test_greedy_partition_invariant(spark):
     rows = _random_pairs(rng, 30, 30, 90)
     expect = _sequential_greedy(rows)
     for parts in (1, 7):
-        df = spark.createDataFrame(rows, SCHEMA).repartition(parts)
-        got = sorted(tuple(r) for r in greedy_one_to_one(df).collect())
-        assert got == expect, f"partitions={parts}"
+        for budget in (0, 100_000):
+            df = spark.createDataFrame(rows, SCHEMA).repartition(parts)
+            got = sorted(
+                tuple(r)
+                for r in greedy_one_to_one(
+                    df, residual_rows_budget=budget
+                ).collect()
+            )
+            assert got == expect, f"partitions={parts} b={budget}"
 
 
 def test_reciprocal_best_equals_reference(spark):
@@ -130,8 +143,14 @@ def test_domino_chain_needs_rounds_and_converges(spark):
     rows = [(i, 1000 + i, 1.0 - 0.01 * i) for i in range(10)]
     rows += [(i + 1, 1000 + i, 1.0 - 0.01 * i - 0.005) for i in range(9)]
     df = spark.createDataFrame(rows, SCHEMA)
-    got = sorted(tuple(r) for r in greedy_one_to_one(df).collect())
-    assert got == _sequential_greedy(rows)
+    for budget in (0, 100_000):
+        got = sorted(
+            tuple(r)
+            for r in greedy_one_to_one(
+                df, residual_rows_budget=budget
+            ).collect()
+        )
+        assert got == _sequential_greedy(rows)
 
 
 def test_max_rounds_raises_loudly(spark):
@@ -139,11 +158,29 @@ def test_max_rounds_raises_loudly(spark):
     rows += [(i + 1, 1000 + i, 1.0 - 0.01 * i - 0.005) for i in range(5)]
     df = spark.createDataFrame(rows, SCHEMA)
     try:
-        greedy_one_to_one(df, max_rounds=1)
+        # budget=0 disables the residual finish so the loud guard stays
+        # reachable (with any budget, a shrinking live set always
+        # completes instead)
+        greedy_one_to_one(df, max_rounds=1, residual_rows_budget=0)
     except RuntimeError as e:
         assert "did not converge" in str(e)
     else:
         raise AssertionError("expected RuntimeError at max_rounds=1")
+
+
+def test_long_domino_chain_completes_via_residual(spark):
+    """ADVICE r5: a strictly-score-decreasing chain longer than
+    2x max_rounds used to raise RuntimeError; the collect-residual finish
+    must complete it with the exact sequential-greedy result."""
+    n = 250  # chain links >> default max_rounds when budget disabled
+    rows = [(i, 1000 + i, 1.0 - 0.001 * i) for i in range(n)]
+    rows += [(i + 1, 1000 + i, 1.0 - 0.001 * i - 0.0005) for i in range(n - 1)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = sorted(
+        tuple(r)
+        for r in greedy_one_to_one(df, max_rounds=3).collect()
+    )
+    assert got == _sequential_greedy(rows)
 
 
 def test_extra_columns_pass_through(spark):
