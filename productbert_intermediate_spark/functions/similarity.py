@@ -397,7 +397,13 @@ def build_offer_text_index(
     sorted_ids = np.asarray(ids)[order]
     texts = [btexts[i] or "" for i in order]
     lens = np.asarray(title_lens)[order].astype(np.int32)
-    emb = embed_texts(texts, dim).astype(np.float32)
+    # _embed_memo, not embed_texts: embeddings are per-text pure values,
+    # and the driver builds an index per scoring run — the memo makes
+    # repeat runs in one process (bench reps, the linkage chain over the
+    # same offers) pay the hashing once per distinct text, exactly the
+    # executor-side _TEXT_MEMO design. Bit-identical (per-row-independent
+    # embedding, pinned by the id-scorer parity tests).
+    emb = _embed_memo(texts, dim).astype(np.float32)
     return {
         "ids": sorted_ids,
         "emb": emb,

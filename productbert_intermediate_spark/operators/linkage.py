@@ -29,6 +29,29 @@ from pyspark.sql import functions as F
 
 from . import blocking as B
 
+# The disjoint-space remap id*2 + side is exact only for 0 ≤ id < 2^62:
+# negative ids break the parity/shift inversion and ids ≥ 2^62 overflow
+# silently. Asserted per row at every remap site (ADVICE r5) — one branch
+# per row, evaluated alongside the multiply the row already pays.
+_MAX_REMAP_ID = 1 << 62
+
+
+def _checked_remap(id_col, side_bit: int):
+    return F.when(
+        (id_col >= 0) & (id_col < F.lit(_MAX_REMAP_ID)),
+        id_col * 2 + side_bit,
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "linkage id remap precondition violated "
+                    "(need 0 <= id < 2^62): id="
+                ),
+                id_col.cast("string"),
+            )
+        )
+    )
+
 
 def link_candidate_pairs(
     left: DataFrame,
@@ -76,16 +99,21 @@ def link_candidate_pairs(
     AFTER pruning, exactly as block_offers orders the passes.
     """
 
-    def _tagged(df: DataFrame, side: str) -> DataFrame:
+    def _tagged(df: DataFrame, side_bit: int) -> DataFrame:
+        # Disjoint-long tagging (id*2 + side) instead of a (side, oid)
+        # struct: every downstream groupBy/join/collect then keys on a
+        # plain bigint, which shuffles and compares measurably cheaper
+        # than a struct at identical semantics. The remap precondition
+        # (0 ≤ id < 2^62, see remap_link_pairs) is ASSERTED per row so an
+        # out-of-range id fails loudly instead of silently corrupting
+        # pairs (ADVICE r5).
         return B.build_title_for_ts(df).select(
-            F.struct(
-                F.lit(side).alias("side"), F.col("id").alias("oid")
-            ).alias("id"),
+            _checked_remap(F.col("id"), side_bit).alias("id"),
             F.col(group_col),
             "tokens",
         )
 
-    union = _tagged(left, "l").unionByName(_tagged(right, "r"))
+    union = _tagged(left, 0).unionByName(_tagged(right, 1))
     pruned = B.prune_tokens_by_df(union, min_df, max_df_frac, group_col)
     if use_lsh:
         # two key families consume `pruned` with different projections
@@ -100,9 +128,12 @@ def link_candidate_pairs(
     )
 
     def _flat(keys: DataFrame) -> DataFrame:
+        # side = low bit, oid = arithmetic shift back (exact inverse of
+        # the *2+side remap for the asserted id range)
         return keys.select(
-            F.col("id.side").alias("_side"),
-            F.col("id.oid").alias("_oid"),
+            F.pmod(F.col("id"), F.lit(2)).alias("_side"),
+            F.shiftright(F.col("id"), 1).alias("_oid"),
+            F.col("id").alias("_rid"),
             "key",
         )
 
@@ -112,8 +143,8 @@ def link_candidate_pairs(
     # invariant block_offers passes as assume_distinct_keys=True — so
     # per-key sizes are plain conditional counts, not count_distinct
     # (which plans an extra Expand + two-level distinct aggregation).
-    n_l = F.count(F.when(F.col("_side") == "l", 1)).alias("_nl")
-    n_r = F.count(F.when(F.col("_side") == "r", 1)).alias("_nr")
+    n_l = F.count(F.when(F.col("_side") == 0, 1)).alias("_nl")
+    n_r = F.count(F.when(F.col("_side") == 1, 1)).alias("_nr")
 
     def _gate(k: DataFrame, track: bool) -> DataFrame:
         sizes = k.groupBy("key").agg(n_l, n_r)
@@ -145,10 +176,10 @@ def link_candidate_pairs(
         the old kl⋈kr equi-join emitted nothing for one-sided keys."""
         grouped = k.groupBy("key").agg(
             F.array_sort(
-                F.collect_set(F.when(F.col("_side") == "l", F.col("_oid")))
+                F.collect_set(F.when(F.col("_side") == 0, F.col("_oid")))
             ).alias("_ids_l"),
             F.array_sort(
-                F.collect_set(F.when(F.col("_side") == "r", F.col("_oid")))
+                F.collect_set(F.when(F.col("_side") == 1, F.col("_oid")))
             ).alias("_ids_r"),
         )
         return grouped.select(
@@ -185,27 +216,41 @@ def link_candidate_pairs(
     else:
         k = _flat(rare.unionByName(lsh) if lsh is not None else rare)
         gated = _gate(k, track=True)
-        kl = gated.where(F.col("_side") == "l").select(
-            "key", F.col("_oid").alias("id_l")
+        # the join and (when requested) the meta-prune run on the REMAPPED
+        # ids: prune_pairs_wnp/wep union id_l/id_r into one node column,
+        # so overlapping catalog id spaces would otherwise merge a left
+        # and an unrelated right record into one node and corrupt the
+        # keep/drop means (ADVICE r5, medium). The disjoint even/odd space
+        # makes that impossible; ids unmap right before return.
+        kl = gated.where(F.col("_side") == 0).select(
+            "key", F.col("_rid").alias("id_l")
         )
-        kr = gated.where(F.col("_side") == "r").select(
-            "key", F.col("_oid").alias("id_r")
+        kr = gated.where(F.col("_side") == 1).select(
+            "key", F.col("_rid").alias("id_r")
         )
         # per-key multiplicity = number of shared kept keys (CBS weight)
         pairs = kl.join(kr, "key").select("id_l", "id_r")
-    if meta_prune:
-        if meta_prune not in ("wep", "wnp"):
-            raise ValueError(f"meta_prune={meta_prune!r}: expected wep|wnp")
-        from .metablocking import prune_pairs_wep, prune_pairs_wnp
+        if meta_prune:
+            if meta_prune not in ("wep", "wnp"):
+                raise ValueError(
+                    f"meta_prune={meta_prune!r}: expected wep|wnp"
+                )
+            from .metablocking import prune_pairs_wep, prune_pairs_wnp
 
-        # kl/kr rows are distinct per (id, key) (see the join comment), so
-        # the join's per-pair multiplicity IS the CBS weight: the number
-        # of distinct kept keys the pair shares
-        weighted = pairs.groupBy("id_l", "id_r").agg(
-            F.count("*").cast("long").alias("weight")
+            # kl/kr rows are distinct per (id, key) (see the join
+            # comment), so the join's per-pair multiplicity IS the CBS
+            # weight: the number of distinct kept keys the pair shares
+            weighted = pairs.groupBy("id_l", "id_r").agg(
+                F.count("*").cast("long").alias("weight")
+            )
+            pruner = (
+                prune_pairs_wep if meta_prune == "wep" else prune_pairs_wnp
+            )
+            pairs = pruner(weighted).select("id_l", "id_r")
+        pairs = pairs.select(
+            F.shiftright("id_l", 1).alias("id_l"),
+            F.shiftright("id_r", 1).alias("id_r"),
         )
-        pruner = prune_pairs_wep if meta_prune == "wep" else prune_pairs_wnp
-        pairs = pruner(weighted).select("id_l", "id_r")
     if sn_window:
         # Sorted-neighborhood pass over the UNION (block_offers' third
         # family, linkage flavor): the two catalogs sort together under the
@@ -225,9 +270,12 @@ def link_candidate_pairs(
             sn_key_chars,
         )
         keyed = left.select(
-            (F.col("id") * 2).alias("id"), sn_key.alias("key")
+            _checked_remap(F.col("id"), 0).alias("id"), sn_key.alias("key")
         ).unionByName(
-            right.select((F.col("id") * 2 + 1).alias("id"), sn_key.alias("key"))
+            right.select(
+                _checked_remap(F.col("id"), 1).alias("id"),
+                sn_key.alias("key"),
+            )
         )
         sn = B.sorted_neighborhood_pairs(keyed, sn_window)
         cross = sn.where(
@@ -255,21 +303,25 @@ def remap_link_pairs(cands: DataFrame) -> DataFrame:
     """(id_l, id_r) in the two catalogs' own id spaces → the disjoint
     internal space (left ids ↦ id*2, right ids ↦ id*2+1). Order-preserving
     within each side, so any (score, id_l, id_r) total order downstream is
-    the same order the original ids would give. Assumes ids < 2^62 (the
-    extraction ids are SKU-scale longs, extract.py:112 — a catalog keyed
-    on raw 64-bit hashes would need a dense re-key first, operators/ids)."""
+    the same order the original ids would give. Requires 0 ≤ id < 2^62
+    (the extraction ids are SKU-scale longs, extract.py:112 — a catalog
+    keyed on raw 64-bit hashes would need a dense re-key first,
+    operators/ids); the range is asserted per row (ADVICE r5), so a
+    violating id fails the job loudly instead of corrupting pairs."""
     return cands.select(
-        (F.col("id_l") * 2).alias("id_l"),
-        (F.col("id_r") * 2 + 1).alias("id_r"),
+        _checked_remap(F.col("id_l"), 0).alias("id_l"),
+        _checked_remap(F.col("id_r"), 1).alias("id_r"),
     )
 
 
 def unmap_link_ids(df: DataFrame) -> DataFrame:
     """Inverse of remap_link_pairs on a result table: both remapped id
-    columns back to the catalogs' own ids (id*2 and id*2+1 both floor-div
-    back to id)."""
-    return df.withColumn("id_l", F.expr("id_l div 2")).withColumn(
-        "id_r", F.expr("id_r div 2")
+    columns back to the catalogs' own ids via arithmetic shift (floor
+    division — the exact inverse for the asserted 0 ≤ id < 2^62 range,
+    and, unlike SQL ``div``'s truncate-toward-zero, also the correct
+    floor for any negative value that slipped in)."""
+    return df.withColumn("id_l", F.shiftright("id_l", 1)).withColumn(
+        "id_r", F.shiftright("id_r", 1)
     )
 
 
@@ -289,9 +341,11 @@ def tagged_union_for_scoring(left: DataFrame, right: DataFrame) -> DataFrame:
 
     keep = ["id"] + [a for a in S_PAIR_ATTRS if a in left.columns]
     return (
-        left.withColumn("id", F.col("id") * 2)
+        left.withColumn("id", _checked_remap(F.col("id"), 0))
         .select(*keep)
-        .unionByName(right.withColumn("id", F.col("id") * 2 + 1).select(*keep))
+        .unionByName(
+            right.withColumn("id", _checked_remap(F.col("id"), 1)).select(*keep)
+        )
         .localCheckpoint(eager=True)
     )
 

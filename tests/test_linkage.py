@@ -374,3 +374,66 @@ def test_link_meta_prune_wep_vs_wnp_semantics(spark):
 
     assert run("wep") == {(0, 1)}
     assert run("wnp") == {(0, 1), (0, 3)}
+
+
+def test_link_meta_prune_overlapping_id_spaces(spark):
+    """ADVICE r5 (medium): WNP/WEP pruning unions id_l/id_r into one node
+    column, so overlapping catalog id spaces merged a left and an
+    unrelated right record into one node and corrupted the keep/drop
+    means. The prune now runs in the disjoint id*2+side space, so a run
+    on overlapping ids must equal the same run with the right catalog
+    manually shifted into a disjoint range (blocking is id-agnostic)."""
+    from productbert_intermediate_spark.operators.linkage import (
+        link_candidate_pairs,
+    )
+
+    rows_l = [
+        (i, "cat", f"acme widget model{i} blue", None) for i in range(8)
+    ]
+    # SAME numeric ids on the right (the overlap), similar titles so keys
+    # collide across sides and several pairs share an endpoint
+    rows_r = [
+        (i, "cat", f"acme widget model{i // 2} blue", None) for i in range(8)
+    ]
+    schema = "id long, category string, title string, description string"
+    left = spark.createDataFrame(rows_l, schema)
+    right = spark.createDataFrame(rows_r, schema)
+    shift = 10_000
+    right_shifted = right.withColumn("id", F.col("id") + shift)
+
+    for prune in ("wnp", "wep"):
+        got = {
+            (r.id_l, r.id_r)
+            for r in link_candidate_pairs(
+                left, right, use_lsh=False, meta_prune=prune
+            ).collect()
+        }
+        expect = {
+            (r.id_l, r.id_r - shift)
+            for r in link_candidate_pairs(
+                left, right_shifted, use_lsh=False, meta_prune=prune
+            ).collect()
+        }
+        assert got == expect, prune
+
+
+def test_link_remap_precondition_raises_loudly(spark):
+    """ADVICE r5: an id outside [0, 2^62) must fail the job instead of
+    silently corrupting the id*2+side remap."""
+    import pytest
+
+    from productbert_intermediate_spark.operators.linkage import (
+        link_candidate_pairs,
+    )
+
+    schema = "id long, category string, title string, description string"
+    left = spark.createDataFrame(
+        [(-1, "cat", "acme widget blue", None),
+         (2, "cat", "acme widget blue", None)], schema
+    )
+    right = spark.createDataFrame(
+        [(3, "cat", "acme widget blue", None),
+         (4, "cat", "acme widget blue", None)], schema
+    )
+    with pytest.raises(Exception, match="remap precondition"):
+        link_candidate_pairs(left, right, use_lsh=False).collect()
