@@ -410,9 +410,22 @@ def build_vocab_and_idf_from_corpus(
     *different* out-of-vocabulary tokens (which share the single UNK vector)
     from reading as a match. Same plan and scale bounds as
     build_vocab_from_corpus (shared via _corpus_token_df).
+
+    n_docs rides an ``observe()`` on the corpus scan the vocabulary job
+    already makes, instead of a second full corpus pass (guide §1.2:
+    remove passes) — the metric is exact (every row flows through the
+    token aggregation before the limit).
     """
-    rows = _corpus_token_df(texts, text_col, min_df, max_vocab).collect()
-    n_docs = texts.count()
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    rows = _corpus_token_df(
+        texts.observe(obs, F.count(F.lit(1)).alias("n_docs")),
+        text_col,
+        min_df,
+        max_vocab,
+    ).collect()
+    n_docs = int(obs.get["n_docs"])
     df_of = {r["token"]: r["df"] for r in rows}
     vocab = WordPieceVocab.from_tokens(sorted(df_of))
     idf = np.zeros(len(vocab.tokens), dtype=np.float32)

@@ -58,11 +58,21 @@ def prune_tokens_by_df(
     min_df: int = DEFAULT_MIN_DF,
     max_df_frac: float = DEFAULT_MAX_DF_FRAC,
     group_col: str = "category",
+    narrow: bool = False,
 ) -> DataFrame:
     """Keep tokens with min_df ≤ df ≤ max_df_frac·N within each group.
 
     Returns offers with ``tokens`` replaced by the pruned array and ``tok_df``
     (aligned df counts, ascending-rarity sorted) added for rare-token keys.
+
+    ``narrow=True`` returns ONLY (id, <group_col>, tokens, tok_df) — the
+    exact projection the key generators read — skipping the corpus-sized
+    join back onto ``offers`` (one full shuffle join removed, guide §2.4).
+    Two deliberate narrow-mode differences, both invisible to key
+    generation: offers whose every token was pruned are absent instead of
+    carrying an empty array (they emit no keys either way), and the group
+    column holds the NULL-sentinel normalization (the generators coalesce
+    to the same sentinel themselves).
 
     NULL group values form their own group: the df aggregation and the
     token re-join run on a null-coalesced key, because plain equi-joins
@@ -85,17 +95,25 @@ def prune_tokens_by_df(
         )
         .select(gn, "token", "df")
     )
-    kept = (
-        toks.join(df_counts, [gn, "token"])
-        .groupBy("id")
-        .agg(
+    kept_base = toks.join(df_counts, [gn, "token"]).groupBy("id")
+    if narrow:
+        return kept_base.agg(
+            # gn is functionally determined by id — carrying it through
+            # the aggregation replaces the join back onto offers
+            F.first(gn).alias(group_col),
             F.array_sort(F.collect_list(F.struct("df", "token"))).alias("_dt"),
-        )
-        .select(
+        ).select(
             "id",
+            group_col,
             F.col("_dt.token").alias("tokens"),
             F.col("_dt.df").alias("tok_df"),
         )
+    kept = kept_base.agg(
+        F.array_sort(F.collect_list(F.struct("df", "token"))).alias("_dt"),
+    ).select(
+        "id",
+        F.col("_dt.token").alias("tokens"),
+        F.col("_dt.df").alias("tok_df"),
     )
     return offers.drop("tokens").join(kept, "id", "left").withColumn(
         "tokens", F.coalesce(F.col("tokens"), F.array().cast("array<string>"))
@@ -460,7 +478,7 @@ def block_offers(
             "left_anti",
         )
     tokenized = build_title_for_ts(offers)
-    pruned = prune_tokens_by_df(tokenized, min_df, max_df_frac)
+    pruned = prune_tokens_by_df(tokenized, min_df, max_df_frac, narrow=True)
     if use_lsh:
         # Two key-generation branches consume `pruned` with different
         # projections before their first shuffles, so exchange reuse cannot

@@ -114,7 +114,9 @@ def link_candidate_pairs(
         )
 
     union = _tagged(left, 0).unionByName(_tagged(right, 1))
-    pruned = B.prune_tokens_by_df(union, min_df, max_df_frac, group_col)
+    pruned = B.prune_tokens_by_df(
+        union, min_df, max_df_frac, group_col, narrow=True
+    )
     if use_lsh:
         # two key families consume `pruned` with different projections
         # (same rationale as block_offers): cut lineage once, read twice

@@ -361,3 +361,33 @@ def test_block_offers_sn_window_is_superset(spark, fixtures_dir):
         for r in B.sorted_neighborhood_pairs(keyed, window=3).collect()
     }
     assert augmented == base | sn and len(sn - base) > 0
+
+
+def test_prune_narrow_mode_yields_identical_keys(spark):
+    """narrow=True (r6: skips the corpus-sized join back onto offers) must
+    produce exactly the same rare-token AND LSH band keys as the wide
+    mode, including NULL-category offers and offers losing every token."""
+    rows = [
+        (1, "a", "acme widget blue fast", None),
+        (2, "a", "acme widget blue slow", None),
+        (3, "a", "acme gizmo red", None),
+        (4, "a", "bolt nut washer", None),
+        (5, None, "zeta gadget green", None),
+        (6, None, "zeta gadget green", None),
+        (7, None, "zeta gearbox teal", None),
+        (8, None, "pump hose valve", None),
+        (9, "b", "onlyuniquetokenshere atall", None),  # all tokens df=1
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, category string, title string, description string"
+    )
+    tokenized = B.build_title_for_ts(df)
+    wide = B.prune_tokens_by_df(tokenized)
+    narrow = B.prune_tokens_by_df(tokenized, narrow=True)
+    for gen in (
+        lambda p: B.rare_token_keys(p, 100),
+        lambda p: B.minhash_band_keys(p),
+    ):
+        kw = {(r.id, r.key) for r in gen(wide).collect()}
+        kn = {(r.id, r.key) for r in gen(narrow).collect()}
+        assert kw == kn and kw
