@@ -43,19 +43,27 @@ def _canonical(edges: DataFrame) -> DataFrame:
     )
 
 
-def _large_star(edges: DataFrame) -> DataFrame:
-    """For each node n: link every strictly-larger neighbor to min(Γ(n) ∪ n)."""
+def _large_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
+    """For each node n: link every strictly-larger neighbor to min(Γ(n) ∪ n).
+
+    ``dedup=False`` skips the terminal distinct: _small_star is
+    duplicate-insensitive (its min aggregation ignores multiplicity and
+    its own terminal distinct collapses duplicated relink rows), so the
+    fixpoint loop saves one exchange per round by deferring the dedup to
+    small-star's existing one (guide §2.4). Standalone callers keep the
+    distinct contract.
+    """
     sym = edges.select("u", "v").unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-    return (
+    out = (
         sym.join(m, "u")
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
     )
+    return out.distinct() if dedup else out
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -107,11 +115,14 @@ def connected_components(
     for _ in range(max_iterations):
         # _large_star output is ALREADY canonical: every emitted edge is
         # (v_orig, m) with m = min(Γ(u) ∪ u) ≤ u < v_orig, self-loops
-        # impossible and .distinct() applied inside — so the old
-        # _canonical() wrapper here only re-derived greatest/least and
-        # re-shuffled a second distinct per round. Removing it drops one
-        # exchange per CC round (guide §2.4) with an identical edge set.
-        cur = _large_star(cur)
+        # impossible — so the old _canonical() wrapper here only
+        # re-derived greatest/least and re-shuffled a second distinct per
+        # round. dedup=False additionally defers large-star's own
+        # distinct to small-star's terminal one (min aggregation is
+        # duplicate-insensitive), leaving the round with exactly one
+        # dedup exchange — the one the fingerprint/fixpoint contract
+        # needs. Identical edge sets per round (pinned by test).
+        cur = _large_star(cur, dedup=False)
         cur = _small_star(cur)
         # small_star output is already (u > v) oriented.
         # Size-based coalesce BEFORE the checkpoint: the previous round's

@@ -104,6 +104,13 @@ def prepare_offers_for_scoring(offers: DataFrame) -> DataFrame:
     out = out.withColumn(
         "_dtoks", F.filter("_toks", lambda t: t.rlike(r"\d"))
     )
+    # lowered title / brand are per-OFFER values the pair features read on
+    # both sides — lower once here, not once per pair side (lower(NULL) is
+    # NULL, so the brand_match null check is unchanged)
+    out = out.withColumn(
+        "_lt", F.lower(F.coalesce(F.col("title"), F.lit("")))
+    ).withColumn("_lb", F.lower(F.col("brand")) if "brand" in offers.columns
+                 else F.lit(None).cast("string"))
     # Parsed price is a PER-OFFER value: run the locale regex chain once
     # per offer here instead of once per pair side downstream (the
     # candidate:offer ratio is 10-100x; measured ~1s of the 4.5s feature
@@ -589,18 +596,18 @@ def build_pair_features_narrow(
     else:
         pairs = pairs.repartition(n_parts, "id_l")
     prepped = prepare_offers_for_scoring(offers)
-    # hydrate ONLY what the feature projection reads: title/brand, the
-    # precomputed token sets and the pre-parsed price double (_pv — the
-    # raw price string and its regex chain stay per-offer) —
+    # hydrate ONLY what the feature projection reads: the precomputed
+    # lowered title/brand, token sets and the pre-parsed price double
+    # (_pv — the raw price string and its regex chain stay per-offer) —
     # description/specTableContent (the long fields) and, on the id-keyed
     # path, _btext never enter the join or the broadcast. This is most of
     # the broadcast's bytes and the dominant non-scaling (driver-serial)
     # cost of a scoring run.
-    attrs = ("title", "brand")
+    attrs: tuple[str, ...] = ()
     pcols = (
-        ("_btext", "_toks", "_dtoks", "_pv")
+        ("_btext", "_toks", "_dtoks", "_pv", "_lt", "_lb")
         if keep_texts
-        else ("_toks", "_dtoks", "_pv")
+        else ("_toks", "_dtoks", "_pv", "_lt", "_lb")
     )
     if salting:
         n_salts, hot_threshold = salt_hot_ids
@@ -614,8 +621,8 @@ def build_pair_features_narrow(
             attrs=attrs, prepared_cols=pcols,
         )
 
-    title_l = F.lower(F.coalesce(F.col("title_left"), F.lit("")))
-    title_r = F.lower(F.coalesce(F.col("title_right"), F.lit("")))
+    title_l = F.col("_lt_left")
+    title_r = F.col("_lt_right")
     passthrough = [c for c in pairs.columns if c not in ("id_l", "id_r")]
     text_cols = (
         [
@@ -627,6 +634,9 @@ def build_pair_features_narrow(
         if keep_texts
         else []
     )
+    brand_match = F.when(
+        F.col("_lb_left").isNull() | F.col("_lb_right").isNull(), 0.5
+    ).otherwise((F.col("_lb_left") == F.col("_lb_right")).cast("double"))
     narrow = hydrated.select(
         "id_l",
         "id_r",
@@ -634,17 +644,19 @@ def build_pair_features_narrow(
         levenshtein_norm(title_l, title_r).alias("lev_title"),
         token_jaccard(F.col("_toks_left"), F.col("_toks_right")).alias("jac_tokens"),
         _digit_jac_col(F.col("_dtoks_left"), F.col("_dtoks_right")).alias("digit_jac"),
-        _brand_match_col().alias("brand_match"),
+        brand_match.alias("brand_match"),
         _price_sim_from_values(
             F.col("_pv_left"), F.col("_pv_right")
         ).alias("price_sim"),
         *text_cols,
     )
     # Deliberate exchange between the JVM feature map and the Python stage:
-    # fusing them starves the Python workers (a single in-task producer feeds
-    # each worker at join+features speed, ~50% duty cycle measured). Without
-    # texts the rows are ids + feature doubles (~60B), so the shuffle is
-    # cheap and the scorer stage reads at memory speed.
+    # fusing them was re-tested this round after the per-offer hoists
+    # (price parse, lowering) and is BIMODAL on this box — 6.8-22.5s for
+    # the fused stage vs a steady 6.8-8.0s decoupled (the single fused
+    # task runs JVM producer and Python consumer concurrently per task,
+    # oversubscribing the cores). The decoupled shape stands; rows are
+    # ids + feature doubles (~60B), so the shuffle is cheap.
     return narrow.repartition(n_parts, "id_l", "id_r")
 
 

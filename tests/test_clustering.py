@@ -186,3 +186,35 @@ def test_split_giant_random_graphs_vs_oracle(spark):
         got = _run_split(spark, scored, max_size=8, ladder=[30, 60])
         want = _split_oracle(scored, 8, [30, 60])
         assert got == want, trial
+
+
+def test_large_star_dedup_false_equivalent_through_small_star(spark):
+    """r6: the fixpoint loop defers large-star's distinct to small-star's
+    terminal one. For any edge set, small_star(large_star(E, dedup=False))
+    must equal small_star(large_star(E)) — min aggregation is
+    duplicate-insensitive and the terminal distinct collapses the rest."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from productbert_intermediate_spark.operators.clustering import (
+        _canonical,
+        _large_star,
+        _small_star,
+    )
+
+    rng = random.Random(23)
+    edges = [
+        (rng.randrange(60), rng.randrange(60)) for _ in range(300)
+    ]
+    df = _canonical(
+        spark.createDataFrame(edges, "src long, dst long").select(
+            F.col("src"), F.col("dst")
+        )
+    )
+    a = {
+        (r.u, r.v)
+        for r in _small_star(_large_star(df, dedup=False)).collect()
+    }
+    b = {(r.u, r.v) for r in _small_star(_large_star(df)).collect()}
+    assert a == b and a
