@@ -147,6 +147,19 @@ def connected_components(
         if fp == prev_fp:
             break
         prev_fp = fp
+        # Early convergence: a star-shaped edge set (no member is also a
+        # root — u-set ∩ v-set = ∅) IS the fixpoint: both stars are the
+        # identity on it (large-star re-emits (member, root) from the
+        # root's group; small-star's min per member is its root). The old
+        # loop only detected convergence one round LATER, via fp equality,
+        # paying a full two-star round that provably changes nothing. The
+        # check is a semi-join + limit-1 on the just-materialized
+        # checkpoint — scalar driver round-trip, no extra pass over the
+        # stars (guide §1.2: don't compute what you throw away).
+        if checkpoint_each_round and cur.join(
+            cur.select(F.col("v").alias("u")).distinct(), "u", "left_semi"
+        ).isEmpty():
+            break
     # converged: every edge is (member, component-min)
     members = cur.select(F.col("u").alias("id"), F.col("v").alias("entity_id"))
     roots = cur.select(F.col("v").alias("id"), F.col("v").alias("entity_id"))
