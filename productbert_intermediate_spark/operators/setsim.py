@@ -32,16 +32,31 @@ def _with_rarity_sorted_tokens(
     The ordering must be one TOTAL order shared by all rows (prefix-filter
     correctness depends on it); document frequency is computed over the whole
     input, not per group.
+
+    The group columns ride the explode and come back through first() in the
+    per-id aggregation (they are functionally dependent on the id), so the
+    old corpus-sized join back onto ``docs`` is gone (guide §2.4). The
+    original ``toks_col`` is NOT carried: ``_sorted_toks`` is a permutation
+    of it, and every downstream read (prefix slices, size-of-intersection /
+    size-of-union verify) is permutation-invariant. Rows whose token set is
+    empty drop out of the explode exactly as the old inner join dropped
+    them.
     """
-    toks = docs.select(id_col, F.explode(toks_col).alias("_tok"))
+    toks = docs.select(
+        id_col, *group_cols, F.explode(toks_col).alias("_tok")
+    )
     dfc = toks.groupBy("_tok").agg(F.count("*").alias("_df"))
-    sorted_toks = (
+    return (
         toks.join(dfc, "_tok")
         .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("_df", "_tok"))).alias("_dt"))
-        .select(id_col, F.col("_dt._tok").alias("_sorted_toks"))
+        .agg(
+            *[F.first(g).alias(g) for g in group_cols],
+            F.array_sort(F.collect_list(F.struct("_df", "_tok"))).alias("_dt"),
+        )
+        .select(
+            id_col, *group_cols, F.col("_dt._tok").alias("_sorted_toks")
+        )
     )
-    return docs.select(id_col, *group_cols, toks_col).join(sorted_toks, id_col)
 
 
 def jaccard_similarity_join(
@@ -144,7 +159,9 @@ def jaccard_similarity_join(
         .distinct()
     )
 
-    sides = base.select(F.col(id_col).alias("_sid"), F.col(toks_col).alias("_stoks"))
+    sides = base.select(
+        F.col(id_col).alias("_sid"), F.col("_sorted_toks").alias("_stoks")
+    )
     sa = sides.alias("_sa")
     sb = sides.alias("_sb")
     hydrated = (
