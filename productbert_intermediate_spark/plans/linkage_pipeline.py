@@ -234,11 +234,16 @@ def run_linkage(
         labeled = spark.read.parquet(labeled_path).select(
             "id_left", "id_right", "label"
         )
+        # predict on the stored DECISION flag, not mere assignment: with
+        # match_only=False the link_matches table contains every record's
+        # best assigned partner including below-threshold pairs
+        # (match=false), and grading those as positives skews P/R/F1 for
+        # review-queue runs (ADVICE r5)
         pred = labeled.join(
             matches.select(
                 F.col("id_l").alias("id_left"),
                 F.col("id_r").alias("id_right"),
-                F.lit(True).alias("_m"),
+                F.col("match").alias("_m"),
             ),
             ["id_left", "id_right"],
             "left",

@@ -143,3 +143,43 @@ def test_run_linkage_labeled_evaluation(spark, catalogs, tmp_path, fixtures_dir)
     # curve landed as a stage
     curve = spark.read.parquet(f"{wd}/link_threshold_curve")
     assert curve.count() > 0
+
+
+def test_run_linkage_all_candidates_eval_grades_decision_not_assignment(
+    spark, catalogs, tmp_path
+):
+    """ADVICE r5: with match_only=False (--all-candidates) link_matches
+    contains assigned-but-below-threshold pairs with match=false; the
+    labeled eval must grade the DECISION flag, not mere assignment. The
+    labels here mark exactly those assigned-not-matched pairs as
+    negatives (what a review queue decides): the fixed eval grades them
+    true negatives (fp == 0), where the old lit(True)-on-join grading
+    counted every one of them as a false positive."""
+    lp, rp = catalogs
+    wd = str(tmp_path / "wd_ac")
+    # first pass just materializes the all-candidates matches table
+    run_linkage(spark, lp, rp, wd, match_only=False)
+    matches = spark.read.parquet(f"{wd}/link_matches")
+    unmatched = matches.where("not match").select(
+        F.col("id_l").alias("id_left"),
+        F.col("id_r").alias("id_right"),
+        F.lit(0).alias("label"),
+    )
+    matched = matches.where("match").select(
+        F.col("id_l").alias("id_left"),
+        F.col("id_r").alias("id_right"),
+        F.lit(1).alias("label"),
+    )
+    n_unmatched = unmatched.count()
+    assert n_unmatched > 0  # the scenario must actually occur
+    labels_path = str(tmp_path / "labels_ac.parquet")
+    unmatched.unionByName(matched).write.parquet(labels_path)
+
+    # resumed stages + labeled eval over the same matches table
+    rep = run_linkage(
+        spark, lp, rp, wd, labeled_path=labels_path, match_only=False
+    )
+    ev = rep["pairwise_eval"]
+    assert ev["fp"] == 0, ev       # old grading: fp == n_unmatched
+    assert ev["tn"] == n_unmatched, ev
+    assert ev["tp"] == matched.count(), ev
