@@ -85,17 +85,25 @@ def prune_tokens_by_df(
     )
     toks = base.select("id", gn, F.explode("tokens").alias("token"))
     group_sizes = base.groupBy(gn).agg(F.count("*").alias("_n"))
-    df_counts = (
-        toks.groupBy(gn, "token")
-        .agg(F.count("*").alias("df"))
-        .join(group_sizes, gn)
+    # df per (group, token) rides ONE shuffle of the token rows — a count
+    # window over the (gn, token) partition — instead of the old
+    # groupBy-count + join-back shape, which consumed `toks` twice (the
+    # corpus scan + tokenize + explode ran once per consumer; the two
+    # exchanges carry different payloads, so ReuseExchange cannot apply)
+    # and paid a second token-level exchange for the join (guide §2.4).
+    # Window skew equals the old join's skew: both hash-partition the token
+    # rows by (gn, token), and a token's row count is bounded by its group
+    # size. Group sizes are group-cardinality-sized — broadcast.
+    w = Window.partitionBy(gn, "token")
+    kept_toks = (
+        toks.withColumn("df", F.count(F.lit(1)).over(w))
+        .join(F.broadcast(group_sizes), gn)
         .where(
             (F.col("df") >= min_df)
             & (F.col("df") <= (F.col("_n") * F.lit(max_df_frac)))
         )
-        .select(gn, "token", "df")
     )
-    kept_base = toks.join(df_counts, [gn, "token"]).groupBy("id")
+    kept_base = kept_toks.groupBy("id")
     if narrow:
         return kept_base.agg(
             # gn is functionally determined by id — carrying it through

@@ -136,30 +136,78 @@ def connected_components(
                 prev_fp[0] // _EDGES_PER_PARTITION + 1,
             ))
             cur = cur.coalesce(parts)
-        # LAZY checkpoint: the fingerprint aggregation right below is the
-        # round's only action and materializes the checkpoint as a side
-        # effect — one job per round instead of eager-checkpoint + agg (two).
-        # Convergence detection still costs one driver round-trip; that
-        # per-round latency is the algorithm's O(log n) serial floor.
-        if checkpoint_each_round:
-            cur = cur.localCheckpoint(eager=False)
-        fp = _fingerprint(cur)
-        if fp == prev_fp:
-            break
-        prev_fp = fp
+        # LAZY checkpoint + ONE action per round: the aggregation below
+        # materializes the checkpoint as a side effect AND computes the
+        # fingerprint and the early-star convergence test together — the
+        # fingerprint job and the early-star semi-join job of the previous
+        # shape are merged into a single driver round-trip (guide §1.2; the
+        # per-round sync is the algorithm's O(log n) serial floor, so
+        # halving the actions per round halves that floor).
+        #
         # Early convergence: a star-shaped edge set (no member is also a
         # root — u-set ∩ v-set = ∅) IS the fixpoint: both stars are the
         # identity on it (large-star re-emits (member, root) from the
         # root's group; small-star's min per member is its root). The old
         # loop only detected convergence one round LATER, via fp equality,
-        # paying a full two-star round that provably changes nothing. The
-        # check is a semi-join + limit-1 on the just-materialized
-        # checkpoint — scalar driver round-trip, no extra pass over the
-        # stars (guide §1.2: don't compute what you throw away).
-        if checkpoint_each_round and cur.join(
-            cur.select(F.col("v").alias("u")).distinct(), "u", "left_semi"
-        ).isEmpty():
-            break
+        # paying a full two-star round that provably changes nothing.
+        # nonstar flags any node that is both some edge's u and some
+        # edge's v — zero ⟺ star-shaped.
+        if checkpoint_each_round:
+            cur = cur.localCheckpoint(eager=False)
+            # One two-level aggregation computes all three loop signals:
+            # each edge (u, v) emits a u-node row carrying the edge's hash
+            # and a v-node row carrying NULL; per node, max(iu)/max(iv)
+            # record which roles it plays while count/bit_xor fold the
+            # (null-skipping) edge hashes; the global fold then yields
+            #   n       = edge count          (fingerprint, as before)
+            #   h       = xor of edge hashes  (two-level xor == flat xor)
+            #   nonstar = ∃ node that is both a u and a v
+            # Every stage is partial-aggregable; no observe() (AQE's
+            # empty-relation propagation drops CollectMetrics subtrees on
+            # empty inputs) and no separate semi-join job.
+            half_u = cur.select(
+                F.col("u").alias("_node"),
+                F.lit(1).alias("_iu"),
+                F.lit(0).alias("_iv"),
+                F.xxhash64("u", "v").alias("_h"),
+            )
+            half_v = cur.select(
+                F.col("v").alias("_node"),
+                F.lit(0).alias("_iu"),
+                F.lit(1).alias("_iv"),
+                F.lit(None).cast("long").alias("_h"),
+            )
+            per_node = (
+                half_u.unionAll(half_v)
+                .groupBy("_node")
+                .agg(
+                    F.max("_iu").alias("_iu"),
+                    F.max("_iv").alias("_iv"),
+                    F.count("_h").alias("_n"),
+                    F.bit_xor("_h").alias("_hx"),
+                )
+            )
+            row = per_node.agg(
+                F.coalesce(F.sum("_n"), F.lit(0)).alias("n"),
+                F.coalesce(F.bit_xor("_hx"), F.lit(0)).alias("h"),
+                F.coalesce(
+                    F.max(
+                        ((F.col("_iu") + F.col("_iv")) == 2).cast("int")
+                    ),
+                    F.lit(0),
+                ).alias("nonstar"),
+            ).collect()[0]
+            fp = (int(row["n"]), int(row["h"]))
+            if fp == prev_fp:
+                break
+            prev_fp = fp
+            if int(row["nonstar"]) == 0:
+                break
+        else:
+            fp = _fingerprint(cur)
+            if fp == prev_fp:
+                break
+            prev_fp = fp
     # converged: every edge is (member, component-min)
     members = cur.select(F.col("u").alias("id"), F.col("v").alias("entity_id"))
     roots = cur.select(F.col("v").alias("id"), F.col("v").alias("entity_id"))
