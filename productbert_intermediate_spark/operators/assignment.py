@@ -166,21 +166,32 @@ def _sequential_greedy_residual(live: DataFrame, score_col: str) -> DataFrame:
     (id_l, id_r, score) proxy columns, run the literal sequential greedy
     walk, and semi-join the winners back against the live rows — the full
     rows (features etc.) never transit the driver."""
+    import pandas as pd
+
     spark = live.sparkSession
     proxy = live.select("id_l", "id_r", F.col(score_col).alias("_s"))
-    rows = proxy.collect()
-    rows.sort(key=lambda r: (-r["_s"], r["id_l"], r["id_r"]))
+    # Arrow toPandas, not collect(): the proxy is up to residual_rows_budget
+    # rows and row-at-a-time py4j deserialization is the measured driver
+    # cost of this finish (guide §6 — Arrow for driver transfers). The
+    # (score desc, id_l, id_r) order is total (pairs are unique on the id
+    # columns), so the sort is deterministic.
+    pdf = proxy.toPandas().sort_values(
+        ["_s", "id_l", "id_r"], ascending=[False, True, True]
+    )
     taken_l: set = set()
     taken_r: set = set()
-    won = []
-    for r in rows:
-        il, ir = r["id_l"], r["id_r"]
+    won_l: list = []
+    won_r: list = []
+    for il, ir in zip(pdf["id_l"].to_numpy(), pdf["id_r"].to_numpy()):
         if il in taken_l or ir in taken_r:
             continue
         taken_l.add(il)
         taken_r.add(ir)
-        won.append((il, ir))
-    if not won:
+        won_l.append(il)
+        won_r.append(ir)
+    if not won_l:
         return live.where(F.lit(False))
-    winners = spark.createDataFrame(won, ["id_l", "id_r"]).hint("broadcast")
+    winners = spark.createDataFrame(
+        pd.DataFrame({"id_l": won_l, "id_r": won_r})
+    ).hint("broadcast")
     return live.join(winners, ["id_l", "id_r"], "left_semi")
