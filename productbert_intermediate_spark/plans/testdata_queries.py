@@ -670,11 +670,20 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key",
         "left_semi",
     )
-    other = keyed.select(F.col("doc_id").alias("doc_b"), "key")
+    # Pair expansion via the blocking module's bounded collect+combinations
+    # (per-key id buffer capped by _LSH_BAND_CAP) instead of the old band
+    # self-join — one join and its second pass over `keyed` removed; the
+    # (doc_a < doc_b, distinct) pair set is identical. The gate above keeps
+    # its plain count(*) semantics untouched (the oracle SQL mirrors it).
+    from ..operators import blocking as B
+
+    pairs = B.expand_bounded_keys(
+        keyed.select(F.col("doc_id").alias("id"), "key")
+    )
     return (
-        keyed.join(other, "key")
-        .where(F.col("doc_id") < F.col("doc_b"))
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        pairs.select(
+            F.col("id_l").alias("doc_a"), F.col("id_r").alias("doc_b")
+        )
         .distinct()
     )
 
