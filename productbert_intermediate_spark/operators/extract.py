@@ -33,8 +33,27 @@ from ..functions.cleaning import clean_spec_series, clean_string_series
 
 _FIELDS = ("sku", "category", "title", "description", "brand", "price", "spec")
 
-_RAW_SCHEMA = StructType(
-    [StructField(f"raw_{f}", StringType()) for f in _FIELDS]
+# Output of the fused parse+clean UDF: one Arrow crossing carries the page
+# text in and every cleaned offer field out. Splitting parse and per-field
+# cleaning into separate pandas UDFs (the previous shape) cost FOUR
+# ArrowEvalPython crossings of the field payloads per scan — the optimizer
+# interleaves pushed filters between the UDF projections, which breaks them
+# into separate eval batches (guide §4.1: control the columns AND the
+# number of crossings). The cleaners are the same byte-identity
+# clean_*_series functions, now called inside the one UDF.
+_FIELDS_SCHEMA = StructType(
+    [StructField("raw_sku", StringType())]
+    + [
+        StructField(f, StringType())
+        for f in (
+            "category",
+            "title",
+            "description",
+            "brand",
+            "price",
+            "specTableContent",
+        )
+    ]
 )
 
 # Schema of extract_offers OUTPUT (distinct from sources.readers.OFFER_SCHEMA,
@@ -55,25 +74,36 @@ OFFER_SCHEMA = StructType(
 )
 
 
-@pandas_udf(_RAW_SCHEMA)
-def _parse_fields(text: pd.Series) -> pd.DataFrame:  # pragma: no cover - via Spark
-    out = {}
+@pandas_udf(_FIELDS_SCHEMA)
+def _parse_and_clean_udf(text: pd.Series) -> pd.DataFrame:  # pragma: no cover - via Spark
+    raw = {}
     for f in _FIELDS:
         # DOTALL: raw values legitimately contain newlines/tabs
-        out[f"raw_{f}"] = text.str.extract(
+        raw[f] = text.str.extract(
             rf"<<{f}>>(.*?)<</{f}>>", expand=False, flags=16
         )
-    return pd.DataFrame(out)
+    return pd.DataFrame(
+        {
+            "raw_sku": raw["sku"],
+            "category": raw["category"],
+            "title": clean_string_series(raw["title"]),
+            "description": clean_string_series(raw["description"]),
+            "brand": clean_string_series(raw["brand"]),
+            "price": clean_string_series(raw["price"]),
+            "specTableContent": clean_spec_series(raw["spec"]),
+        }
+    )
 
 
-@pandas_udf(StringType())
-def _clean_string_udf(s: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
-    return clean_string_series(s)
-
-
-@pandas_udf(StringType())
-def _clean_spec_udf(s: pd.Series) -> pd.Series:  # pragma: no cover - via Spark
-    return clean_spec_series(s)
+# asNondeterministic is OPTIMIZER metadata, not a semantics change (the
+# function is a pure map): without it, every caller's
+# where(id.isNotNull()) filter — id = try_cast of a UDF output column —
+# is pushed below the projection and the optimizer duplicates the whole
+# parse+clean evaluation, one copy feeding the filter and one the output
+# (guide §4.4: two ArrowEvalPython nodes for one UDF, every surviving row
+# parsed and cleaned twice). Marked non-deterministic, the plan keeps a
+# single evaluation with the filter above it.
+_parse_and_clean = _parse_and_clean_udf.asNondeterministic()
 
 
 def extract_offers(
@@ -103,7 +133,7 @@ def extract_offers(
             .drop("_rn")
         )
 
-    parsed = df.withColumn("_p", _parse_fields(F.col("text")))
+    parsed = df.withColumn("_p", _parse_and_clean(F.col("text")))
     return parsed.select(
         # try_cast, not cast: Spark 4's default ANSI mode makes a plain
         # cast THROW on a non-numeric sku, killing the stage on one dirty
@@ -111,10 +141,10 @@ def extract_offers(
         # pipeline's isNotNull guard
         F.col("_p.raw_sku").try_cast("long").alias("id"),
         F.col("url"),
-        F.col("_p.raw_category").alias("category"),
-        _clean_string_udf(F.col("_p.raw_title")).alias("title"),
-        _clean_string_udf(F.col("_p.raw_description")).alias("description"),
-        _clean_string_udf(F.col("_p.raw_brand")).alias("brand"),
-        _clean_string_udf(F.col("_p.raw_price")).alias("price"),
-        _clean_spec_udf(F.col("_p.raw_spec")).alias("specTableContent"),
+        F.col("_p.category").alias("category"),
+        F.col("_p.title").alias("title"),
+        F.col("_p.description").alias("description"),
+        F.col("_p.brand").alias("brand"),
+        F.col("_p.price").alias("price"),
+        F.col("_p.specTableContent").alias("specTableContent"),
     )
